@@ -1,0 +1,382 @@
+"""PPO as ONE fused XLA program over a device mesh — the flagship algorithm.
+
+Capability parity with `rl_x/algorithms/ppo/flax_full_jit/ppo.py:114-348`
+(whole training run inside a single jit: rollout scan -> GAE reverse scan ->
+per-epoch independently-permuted minibatch update scan -> eval/save/log
+cadence scans, host reached only through debug callbacks), redesigned for
+TPU:
+
+- the env-batch axis is sharded over the mesh "dp" axis (the reference is
+  single-device, SURVEY.md §2.5); gradients are reduced over dp by XLA's
+  sharding propagation — no explicit pmap/psum code.
+- batched-native env stepping (see rlx_tpu.environments.env).
+- optional tensor-parallel params over the "tp" axis.
+- losses are computed batched (mathematically identical to the reference's
+  vmap-then-tree-mean at `ppo/flax_full_jit/ppo.py:223-226`).
+
+Curve-parity details kept exactly: per-epoch independent permutations
+(`ppo.py:229-231`), per-minibatch advantage normalization (`ppo.py:236-237`),
+LR annealing keyed on optimizer step count (`ppo.py:82-84`),
+clip+adam optax chain with inject_hyperparams (`ppo.py:93-96`).
+"""
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.training.train_state import TrainState
+
+from rlx_tpu.algorithms.ppo.tpu.general_properties import GeneralProperties
+from rlx_tpu.environments.types import ActionSpaceType
+from rlx_tpu.models.policy_factory import make_critic, make_policy
+from rlx_tpu.ops.gae import gae_advantages
+from rlx_tpu.parallel import mesh as mesh_lib
+from rlx_tpu.utils import checkpoint as ckpt
+from rlx_tpu.utils.logging import MetricsLogger, rlx_logger
+
+
+class PPO:
+    def __init__(self, config, train_env, eval_env, run_path, writer):
+        self.config = config
+        self.train_env = train_env
+        self.eval_env = eval_env
+        self.run_path = run_path
+
+        a = config.algorithm
+        self.save_model = config.runner.save_model
+        self.save_path = f"{run_path}/models" if run_path else None
+        self.seed = config.environment.seed
+        self.total_timesteps = int(a.total_timesteps)
+        self.nr_envs = config.environment.nr_envs
+        self.learning_rate = a.learning_rate
+        self.anneal_learning_rate = a.anneal_learning_rate
+        self.nr_steps = a.nr_steps
+        self.nr_epochs = a.nr_epochs
+        self.minibatch_size = a.minibatch_size
+        self.gamma = a.gamma
+        self.gae_lambda = a.gae_lambda
+        self.clip_range = a.clip_range
+        self.entropy_coef = a.entropy_coef
+        self.critic_coef = a.critic_coef
+        self.max_grad_norm = a.max_grad_norm
+        self.evaluation_active = a.evaluation_active
+
+        self.batch_size = self.nr_envs * self.nr_steps
+        self.nr_updates = self.total_timesteps // self.batch_size
+        self.nr_minibatches = self.batch_size // self.minibatch_size
+        self.eval_save_frequency = a.evaluation_and_save_frequency
+        if self.eval_save_frequency == -1:
+            self.eval_save_frequency = self.batch_size * max(self.nr_updates, 1)
+        if self.eval_save_frequency % self.batch_size != 0:
+            raise ValueError("evaluation_and_save_frequency must be a multiple of nr_envs * nr_steps")
+        self.nr_eval_save_iterations = max(self.total_timesteps // self.eval_save_frequency, 1)
+        self.nr_updates_per_eval_save_iteration = self.eval_save_frequency // self.batch_size
+
+        self.horizon = train_env.horizon
+        self.os_shape = train_env.single_observation_space.shape
+        self.as_shape = train_env.single_action_space.shape
+        self.continuous = (
+            train_env.general_properties.action_space_type == ActionSpaceType.CONTINUOUS
+        )
+
+        self.mesh = mesh_lib.make_mesh(
+            dp=(None if config.runner.mesh_dp == -1 else config.runner.mesh_dp),
+            tp=config.runner.mesh_tp,
+        )
+        if self.nr_envs % self.mesh.shape[mesh_lib.DP_AXIS] != 0:
+            raise ValueError("nr_envs must be divisible by the dp mesh axis size")
+
+        self.logger = MetricsLogger(
+            config.runner.track_console, config.runner.track_tb, config.runner.track_wandb, writer
+        )
+
+        rlx_logger.info(f"Using device: {jax.default_backend()}, mesh: {dict(self.mesh.shape)}")
+
+        self.key = jax.random.PRNGKey(self.seed)
+        self.key, policy_key, critic_key = jax.random.split(self.key, 3)
+
+        self.policy = make_policy(config, train_env)
+        self.critic = make_critic(config, train_env)
+
+        def linear_schedule(count):
+            fraction = 1.0 - (count // (self.nr_minibatches * self.nr_epochs)) / max(self.nr_updates, 1)
+            return self.learning_rate * fraction
+
+        learning_rate = linear_schedule if self.anneal_learning_rate else self.learning_rate
+
+        def make_tx():
+            return optax.chain(
+                optax.clip_by_global_norm(self.max_grad_norm),
+                optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate),
+            )
+
+        dummy_obs = jnp.zeros((1,) + self.os_shape, dtype=jnp.float32)
+        self.policy_state = TrainState.create(
+            apply_fn=self.policy.module.apply,
+            params=self.policy.module.init(policy_key, dummy_obs),
+            tx=make_tx(),
+        )
+        self.critic_state = TrainState.create(
+            apply_fn=self.critic.apply,
+            params=self.critic.init(critic_key, dummy_obs),
+            tx=make_tx(),
+        )
+        # Replicate training state across the mesh (tp-sharding of large
+        # params is applied lazily by XLA from the constraint rules).
+        repl = mesh_lib.replicated_sharding(self.mesh)
+        self.policy_state = jax.device_put(self.policy_state, repl)
+        self.critic_state = jax.device_put(self.critic_state, repl)
+
+        self._last_log_time = time.time()
+
+    # ------------------------------------------------------------------ train
+
+    def _learning_iteration(self, carry, learning_iteration_step, outer_step):
+        """One rollout + GAE + minibatch-epochs update. Pure; called under scan."""
+        policy_state, critic_state, env_state, key = carry
+
+        # --- rollout: lax.scan over nr_steps, env stepped on device --------
+        def single_rollout_step(rollout_carry, _):
+            policy_state, critic_state, env_state, key = rollout_carry
+            key, action_key = jax.random.split(key)
+            observation = env_state.observation
+            action, log_prob = self.policy.sample_and_log_prob(
+                policy_state.params, observation, action_key
+            )
+            value = self.critic.apply(critic_state.params, observation).squeeze(-1)
+            env_state = self.train_env.step(env_state, self.policy.process_action(action))
+            transition = (
+                observation,
+                env_state.final_observation,
+                action,
+                env_state.reward,
+                value,
+                env_state.terminated,
+                log_prob,
+                env_state.info,
+            )
+            return (policy_state, critic_state, env_state, key), transition
+
+        (policy_state, critic_state, env_state, key), batch = jax.lax.scan(
+            single_rollout_step, (policy_state, critic_state, env_state, key), None, self.nr_steps
+        )
+        observations, final_observations, actions, rewards, values, terminations, log_probs, infos = batch
+
+        # --- advantages ----------------------------------------------------
+        next_values = self.critic.apply(critic_state.params, final_observations).squeeze(-1)
+        advantages, returns = gae_advantages(
+            rewards, values, next_values, terminations, self.gamma, self.gae_lambda
+        )
+
+        # --- flatten + shard the update batch over dp ----------------------
+        batch_observations = observations.reshape((-1,) + self.os_shape)
+        batch_actions = actions.reshape((-1,) + self.as_shape) if self.continuous else actions.reshape(-1)
+        batch_advantages = advantages.reshape(-1)
+        batch_returns = returns.reshape(-1)
+        batch_log_probs = log_probs.reshape(-1)
+        batch_observations = mesh_lib.shard_batch(batch_observations, self.mesh)
+
+        def loss_fn(policy_params, critic_params, obs_mb, action_mb, log_prob_mb, return_mb, advantage_mb):
+            new_log_prob, entropy = self.policy.log_prob_entropy(policy_params, obs_mb, action_mb)
+            logratio = new_log_prob - log_prob_mb
+            ratio = jnp.exp(logratio)
+            approx_kl = ((ratio - 1.0) - logratio).mean()
+            clip_fraction = (jnp.abs(ratio - 1.0) > self.clip_range).mean()
+
+            pg_loss1 = -advantage_mb * ratio
+            pg_loss2 = -advantage_mb * jnp.clip(ratio, 1.0 - self.clip_range, 1.0 + self.clip_range)
+            pg_loss = jnp.maximum(pg_loss1, pg_loss2).mean()
+
+            entropy_loss = entropy.mean()
+
+            new_value = self.critic.apply(critic_params, obs_mb).squeeze(-1)
+            critic_loss = (0.5 * (new_value - return_mb) ** 2).mean()
+
+            loss = pg_loss - self.entropy_coef * entropy_loss + self.critic_coef * critic_loss
+            metrics = {
+                "loss/policy_gradient_loss": pg_loss,
+                "loss/critic_loss": critic_loss,
+                "loss/entropy_loss": entropy_loss,
+                "policy_ratio/approx_kl": approx_kl,
+                "policy_ratio/clip_fraction": clip_fraction,
+            }
+            return loss, metrics
+
+        grad_loss_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+        # Per-epoch independent permutations, exactly as the reference
+        # (`ppo/flax_full_jit/ppo.py:229-231`) for curve parity.
+        key, perm_key = jax.random.split(key)
+        batch_indices = jnp.tile(jnp.arange(self.batch_size), (self.nr_epochs, 1))
+        batch_indices = jax.random.permutation(perm_key, batch_indices, axis=1, independent=True)
+        batch_indices = batch_indices.reshape((self.nr_epochs * self.nr_minibatches, self.minibatch_size))
+
+        def minibatch_update(carry, minibatch_indices):
+            policy_state, critic_state = carry
+            mb_advantages = batch_advantages[minibatch_indices]
+            mb_advantages = (mb_advantages - mb_advantages.mean()) / (mb_advantages.std() + 1e-8)
+
+            (loss, metrics), (policy_grads, critic_grads) = grad_loss_fn(
+                policy_state.params,
+                critic_state.params,
+                batch_observations[minibatch_indices],
+                batch_actions[minibatch_indices],
+                batch_log_probs[minibatch_indices],
+                batch_returns[minibatch_indices],
+                mb_advantages,
+            )
+            policy_state = policy_state.apply_gradients(grads=policy_grads)
+            critic_state = critic_state.apply_gradients(grads=critic_grads)
+            metrics["gradients/policy_grad_norm"] = optax.global_norm(policy_grads)
+            metrics["gradients/critic_grad_norm"] = optax.global_norm(critic_grads)
+            return (policy_state, critic_state), metrics
+
+        (policy_state, critic_state), optimization_metrics = jax.lax.scan(
+            minibatch_update, (policy_state, critic_state), batch_indices
+        )
+        optimization_metrics = jax.tree.map(jnp.mean, optimization_metrics)
+        optimization_metrics["lr/learning_rate"] = policy_state.opt_state[1].hyperparams["learning_rate"]
+        optimization_metrics["v_value/explained_variance"] = 1.0 - jnp.var(returns - values) / (
+            jnp.var(returns) + 1e-8
+        )
+        if self.continuous:
+            optimization_metrics["policy/std_dev"] = jnp.mean(
+                jnp.exp(policy_state.params["params"]["policy_logstd"])
+            )
+
+        # --- logging escape ------------------------------------------------
+        combined_metrics = {**jax.tree.map(jnp.mean, infos), **optimization_metrics}
+        combined_step = outer_step * self.nr_updates_per_eval_save_iteration + learning_iteration_step + 1
+        jax.debug.callback(self._log_train_callback, combined_metrics, combined_step, learning_iteration_step)
+
+        return (policy_state, critic_state, env_state, key), None
+
+    def _eval_iteration(self, policy_state, key, outer_step):
+        def single_eval_step(carry, _):
+            policy_state, eval_env_state = carry
+            action = self.policy.mode(policy_state.params, eval_env_state.observation)
+            eval_env_state = self.eval_env.step(eval_env_state, self.policy.process_action(action))
+            return (policy_state, eval_env_state), None
+
+        eval_env_state = self.eval_env.reset(key, eval_mode=True)
+        eval_env_state = mesh_lib.shard_batch(eval_env_state, self.mesh)
+        (_, eval_env_state), _ = jax.lax.scan(
+            single_eval_step, (policy_state, eval_env_state), None, self.horizon
+        )
+        eval_metrics = {
+            "eval/episode_return": jnp.mean(eval_env_state.info["rollout/episode_return"]),
+            "eval/episode_length": jnp.mean(eval_env_state.info["rollout/episode_length"]),
+        }
+        combined_step = (outer_step + 1) * self.nr_updates_per_eval_save_iteration
+        jax.debug.callback(self._log_eval_callback, eval_metrics, combined_step)
+
+    def build_train_function(self):
+        """The whole training run as one jittable function of the seed key."""
+
+        def jitable_train_function(key):
+            key, reset_key = jax.random.split(key)
+            env_state = self.train_env.reset(reset_key, eval_mode=False)
+            env_state = mesh_lib.shard_batch(env_state, self.mesh)
+
+            def eval_save_iteration(carry, outer_step):
+                policy_state, critic_state, env_state, key = carry
+                key, learn_key, eval_key = jax.random.split(key, 3)
+
+                (policy_state, critic_state, env_state, _), _ = jax.lax.scan(
+                    partial(self._learning_iteration, outer_step=outer_step),
+                    (policy_state, critic_state, env_state, learn_key),
+                    jnp.arange(self.nr_updates_per_eval_save_iteration),
+                )
+                if self.evaluation_active:
+                    self._eval_iteration(policy_state, eval_key, outer_step)
+                if self.save_model:
+                    jax.debug.callback(self._save_callback, policy_state, critic_state)
+                return (policy_state, critic_state, env_state, key), None
+
+            final_carry, _ = jax.lax.scan(
+                eval_save_iteration,
+                (self.policy_state, self.critic_state, env_state, key),
+                jnp.arange(self.nr_eval_save_iterations),
+            )
+            return final_carry[0], final_carry[1]
+
+        return jitable_train_function
+
+    def train(self):
+        train_function = jax.jit(self.build_train_function())
+        self.key, run_key = jax.random.split(self.key)
+        self._last_log_time = time.time()
+        start = time.time()
+        policy_state, critic_state = jax.block_until_ready(train_function(run_key))
+        self.policy_state = policy_state
+        self.critic_state = critic_state
+        rlx_logger.info(f"Average time: {time.time() - start:.2f} s")
+
+    # ------------------------------------------------------------- callbacks
+
+    def _log_train_callback(self, metrics, combined_step, learning_iteration_step):
+        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        now = time.time()
+        metrics["time/sps"] = int(self.batch_size / max(now - self._last_log_time, 1e-9))
+        self._last_log_time = now
+        global_step = int(np.asarray(combined_step)) * self.batch_size
+        metrics["steps/nr_env_steps"] = global_step
+        metrics["steps/nr_updates"] = int(np.asarray(combined_step)) * self.nr_epochs * self.nr_minibatches
+        is_last_before_eval = self.evaluation_active and (
+            int(np.asarray(learning_iteration_step)) + 1 == self.nr_updates_per_eval_save_iteration
+        )
+        self.logger.log_dict(metrics, global_step, wandb_commit=not is_last_before_eval)
+
+    def _log_eval_callback(self, metrics, combined_step):
+        global_step = int(np.asarray(combined_step)) * self.batch_size
+        self.logger.log_dict({k: np.asarray(v) for k, v in metrics.items()}, global_step)
+
+    def _save_callback(self, policy_state, critic_state):
+        self.save(policy_state, critic_state)
+
+    # ---------------------------------------------------------- save / load
+
+    def save(self, policy_state=None, critic_state=None):
+        policy_state = self.policy_state if policy_state is None else policy_state
+        critic_state = self.critic_state if critic_state is None else critic_state
+        ckpt.save_model_file(
+            self.save_path,
+            "latest.model",
+            {"policy": policy_state.params, "critic": critic_state.params},
+            self.config.algorithm.to_dict(),
+        )
+
+    @staticmethod
+    def load(config, train_env, eval_env, run_path, writer, explicitly_set_algorithm_params):
+        restored, loaded_config = ckpt.load_model_file(config.runner.load_model)
+        ckpt.merge_loaded_algorithm_config(config, loaded_config, explicitly_set_algorithm_params)
+        model = PPO(config, train_env, eval_env, run_path, writer)
+        target = {"policy": model.policy_state.params, "critic": model.critic_state.params}
+        restored, _ = ckpt.load_model_file(config.runner.load_model, target)
+        model.policy_state = model.policy_state.replace(params=restored["policy"])
+        model.critic_state = model.critic_state.replace(params=restored["critic"])
+        return model
+
+    def test(self, episodes):
+        """Deterministic rollouts on the eval env; logs mean return."""
+
+        @jax.jit
+        def rollout(env_state):
+            action = self.policy.mode(self.policy_state.params, env_state.observation)
+            return self.eval_env.step(env_state, self.policy.process_action(action))
+
+        self.key, reset_key = jax.random.split(self.key)
+        env_state = self.eval_env.reset(reset_key, eval_mode=True)
+        returns = []
+        for _ in range(episodes):
+            for _ in range(self.horizon):
+                env_state = rollout(env_state)
+            returns.append(float(jnp.mean(env_state.info["rollout/episode_return"])))
+            rlx_logger.info(f"eval/episode_return: {returns[-1]:.2f}")
+        return returns
+
+    def general_properties():
+        return GeneralProperties

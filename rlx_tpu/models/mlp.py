@@ -1,0 +1,176 @@
+"""Shared Flax network building blocks.
+
+Init schemes follow the reference exactly for curve parity: orthogonal
+kernels with sqrt(2) gain on trunks, small-gain output heads, constant-zero
+biases (`rl_x/algorithms/ppo/flax/policy.py:34-39`,
+`rl_x/algorithms/ppo/flax_full_jit/policy.py:33-42`).
+
+TPU notes: hidden widths default to multiples of 128 so Dense matmuls tile
+cleanly onto the 128x128 MXU; activations are computed in the param dtype
+(bfloat16-friendly via the runner's default matmul precision).
+"""
+
+from typing import Callable, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+import flax.linen as nn
+from flax.linen.initializers import constant, orthogonal
+
+
+ACTIVATIONS = {
+    "tanh": nn.tanh,
+    "relu": nn.relu,
+    "elu": nn.elu,
+    "gelu": nn.gelu,
+    "swish": nn.swish,
+}
+
+
+class MLP(nn.Module):
+    """Plain trunk: Dense -> (optional LayerNorm on first layer) -> activation."""
+
+    hidden_sizes: Sequence[int]
+    activation: str = "tanh"
+    layer_norm: bool = False
+    kernel_gain: float = float(np.sqrt(2))
+
+    @nn.compact
+    def __call__(self, x):
+        act = ACTIVATIONS[self.activation]
+        for i, size in enumerate(self.hidden_sizes):
+            x = nn.Dense(size, kernel_init=orthogonal(self.kernel_gain), bias_init=constant(0.0))(x)
+            if self.layer_norm and i == 0:
+                x = nn.LayerNorm()(x)
+            x = act(x)
+        return x
+
+
+class NatureCNN(nn.Module):
+    """DQN Nature CNN for [..., H, W, C] image observations.
+
+    Mirrors `rl_x/algorithms/dqn/flax/critic.py:20-33` capability (IMAGES
+    observation support) with NHWC layout, which XLA maps onto the MXU via
+    implicit im2col.
+    """
+
+    features: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(jnp.float32) / 255.0
+        x = nn.relu(nn.Conv(32, (8, 8), strides=(4, 4), padding="VALID")(x))
+        x = nn.relu(nn.Conv(64, (4, 4), strides=(2, 2), padding="VALID")(x))
+        x = nn.relu(nn.Conv(64, (3, 3), strides=(1, 1), padding="VALID")(x))
+        x = x.reshape(x.shape[:-3] + (-1,))
+        x = nn.relu(nn.Dense(self.features)(x))
+        return x
+
+
+class GaussianPolicy(nn.Module):
+    """MLP policy emitting (mean, logstd) with a state-independent logstd
+    parameter, matching `rl_x/algorithms/ppo/flax_full_jit/policy.py:30-43`.
+    """
+
+    action_dim: int
+    hidden_sizes: Sequence[int]
+    activation: str = "tanh"
+    layer_norm: bool = False
+    std_dev: float = 1.0
+    observation_indices: Sequence[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.observation_indices is not None:
+            x = x[..., jnp.asarray(self.observation_indices)]
+        x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
+        mean = nn.Dense(self.action_dim, kernel_init=orthogonal(0.01), bias_init=constant(0.0))(x)
+        logstd = self.param("policy_logstd", constant(float(np.log(self.std_dev))), (1, self.action_dim))
+        return mean, logstd
+
+
+class CategoricalPolicy(nn.Module):
+    """MLP policy over discrete actions (logits head)."""
+
+    nr_actions: int
+    hidden_sizes: Sequence[int]
+    activation: str = "tanh"
+    layer_norm: bool = False
+    observation_indices: Sequence[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.observation_indices is not None:
+            x = x[..., jnp.asarray(self.observation_indices)]
+        x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
+        return nn.Dense(self.nr_actions, kernel_init=orthogonal(0.01), bias_init=constant(0.0))(x)
+
+
+class VCritic(nn.Module):
+    """State-value critic, matching `rl_x/algorithms/ppo/flax_full_jit/critic.py:19-34`."""
+
+    hidden_sizes: Sequence[int]
+    activation: str = "tanh"
+    layer_norm: bool = False
+    observation_indices: Sequence[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.observation_indices is not None:
+            x = x[..., jnp.asarray(self.observation_indices)]
+        x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
+        return nn.Dense(1, kernel_init=orthogonal(1.0), bias_init=constant(0.0))(x)
+
+
+class QCritic(nn.Module):
+    """(s, a) -> Q MLP critic (SAC/TD3/DDPG family)."""
+
+    hidden_sizes: Sequence[int]
+    activation: str = "relu"
+    layer_norm: bool = False
+    output_dim: int = 1
+
+    @nn.compact
+    def __call__(self, obs, action):
+        x = jnp.concatenate([obs, action], axis=-1)
+        x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
+        return nn.Dense(self.output_dim, kernel_init=orthogonal(1.0), bias_init=constant(0.0))(x)
+
+
+class VectorQCritic(nn.Module):
+    """Ensemble of Q critics via nn.vmap over the params axis, matching the
+    reference twin/ensemble idiom (`rl_x/algorithms/sac/flax/critic.py:34-55`).
+    """
+
+    hidden_sizes: Sequence[int]
+    nr_critics: int = 2
+    activation: str = "relu"
+    layer_norm: bool = False
+    output_dim: int = 1
+
+    @nn.compact
+    def __call__(self, obs, action):
+        ensemble = nn.vmap(
+            QCritic,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=None,
+            out_axes=0,
+            axis_size=self.nr_critics,
+        )
+        return ensemble(self.hidden_sizes, self.activation, self.layer_norm, self.output_dim)(obs, action)
+
+
+def get_processed_action_function(action_clipping_and_rescaling, low, high):
+    """clip to [-1,1] then rescale to env bounds, selectable
+    (`rl_x/algorithms/ppo/flax/policy.py:43-50`)."""
+    if action_clipping_and_rescaling:
+        low = jnp.asarray(low)
+        high = jnp.asarray(high)
+
+        def process(action):
+            clipped = jnp.clip(action, -1.0, 1.0)
+            return low + 0.5 * (clipped + 1.0) * (high - low)
+
+        return process
+    return lambda action: action

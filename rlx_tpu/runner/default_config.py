@@ -1,0 +1,40 @@
+"""Runner config namespace, mirroring `rl_x/runner/default_config.py:5-29`
+plus the TPU build's mesh controls."""
+
+from ml_collections import config_dict
+
+
+def get_config():
+    config = config_dict.ConfigDict()
+
+    config.mode = "train"
+
+    config.track_console = False
+    config.track_tb = False
+    config.track_wandb = False
+    config.wandb_entity = ""
+    config.project_name = "rlx_tpu"
+    config.exp_name = "default"
+    config.run_name = ""
+    config.notes = ""
+
+    config.save_model = False
+    config.load_model = ""
+    config.nr_test_episodes = 10
+
+    # JAX / XLA setup
+    config.jax_default_matmul_precision = "bfloat16"
+    config.jax_compilation_cache_dir = "/tmp/rlx_tpu_jax_cache"
+    config.device = ""  # "", "cpu", "tpu" — "" keeps the default backend
+
+    # Device mesh ("dp", "tp"); dp = -1 means all remaining devices.
+    config.mesh_dp = -1
+    config.mesh_tp = 1
+
+    # Multi-host (TPU pods): set coordinator_address to enable
+    # jax.distributed.initialize before any computation.
+    config.coordinator_address = ""
+    config.num_processes = 1
+    config.process_id = 0
+
+    return config
