@@ -29,5 +29,6 @@ def get_config(algorithm_name):
     config.layer_norm = False
     config.evaluation_and_save_frequency = -1
     config.evaluation_active = True
+    config.logging_active = True  # False: no in-program logging callbacks (bench)
 
     return config

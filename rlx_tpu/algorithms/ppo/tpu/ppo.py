@@ -124,11 +124,22 @@ class PPO:
             params=self.critic.init(critic_key, dummy_obs),
             tx=make_tx(),
         )
-        # Replicate training state across the mesh (tp-sharding of large
-        # params is applied lazily by XLA from the constraint rules).
-        repl = mesh_lib.replicated_sharding(self.mesh)
-        self.policy_state = jax.device_put(self.policy_state, repl)
-        self.critic_state = jax.device_put(self.critic_state, repl)
+        # Place training state on the mesh: replicated on a pure-dp mesh;
+        # Dense kernels (and their adam moments) sharded over tp when tp > 1.
+        if self.mesh.shape[mesh_lib.TP_AXIS] > 1:
+            from rlx_tpu.parallel.partition import shard_tree, tp_specs_for_tree
+
+            tp_size = self.mesh.shape[mesh_lib.TP_AXIS]
+            self.policy_state = shard_tree(
+                self.policy_state, self.mesh, tp_specs_for_tree(self.policy_state, tp_size)
+            )
+            self.critic_state = shard_tree(
+                self.critic_state, self.mesh, tp_specs_for_tree(self.critic_state, tp_size)
+            )
+        else:
+            repl = mesh_lib.replicated_sharding(self.mesh)
+            self.policy_state = jax.device_put(self.policy_state, repl)
+            self.critic_state = jax.device_put(self.critic_state, repl)
 
         self._last_log_time = time.time()
 
@@ -248,9 +259,12 @@ class PPO:
             )
 
         # --- logging escape ------------------------------------------------
-        combined_metrics = {**jax.tree.map(jnp.mean, infos), **optimization_metrics}
-        combined_step = outer_step * self.nr_updates_per_eval_save_iteration + learning_iteration_step + 1
-        jax.debug.callback(self._log_train_callback, combined_metrics, combined_step, learning_iteration_step)
+        if self.config.algorithm.logging_active:
+            combined_metrics = {**jax.tree.map(jnp.mean, infos), **optimization_metrics}
+            combined_step = outer_step * self.nr_updates_per_eval_save_iteration + learning_iteration_step + 1
+            jax.debug.callback(
+                self._log_train_callback, combined_metrics, combined_step, learning_iteration_step
+            )
 
         return (policy_state, critic_state, env_state, key), None
 

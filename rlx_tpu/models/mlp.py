@@ -28,22 +28,67 @@ ACTIVATIONS = {
 
 
 class MLP(nn.Module):
-    """Plain trunk: Dense -> (optional LayerNorm on first layer) -> activation."""
+    """Plain trunk: Dense -> (optional LayerNorm on first layer) -> activation.
+
+    ``orthogonal_init=False`` keeps flax's default (lecun) init — the
+    reference's off-policy nets use it (`sac/flax_full_jit/policy.py:31-38`).
+    """
 
     hidden_sizes: Sequence[int]
     activation: str = "tanh"
     layer_norm: bool = False
     kernel_gain: float = float(np.sqrt(2))
+    orthogonal_init: bool = True
 
     @nn.compact
     def __call__(self, x):
         act = ACTIVATIONS[self.activation]
         for i, size in enumerate(self.hidden_sizes):
-            x = nn.Dense(size, kernel_init=orthogonal(self.kernel_gain), bias_init=constant(0.0))(x)
+            if self.orthogonal_init:
+                x = nn.Dense(size, kernel_init=orthogonal(self.kernel_gain), bias_init=constant(0.0))(x)
+            else:
+                x = nn.Dense(size)(x)
             if self.layer_norm and i == 0:
                 x = nn.LayerNorm()(x)
             x = act(x)
         return x
+
+
+class SquashedGaussianPolicy(nn.Module):
+    """SAC-style policy: trunk -> (mean, clamped state-dependent logstd).
+
+    Mirrors `rl_x/algorithms/sac/flax_full_jit/policy.py:22-43` capability;
+    sampling/tanh-squash/logprob live in rlx_tpu.models.distributions.
+    """
+
+    action_dim: int
+    hidden_sizes: Sequence[int]
+    activation: str = "elu"
+    layer_norm: bool = True
+    log_std_min: float = -20.0
+    log_std_max: float = 2.0
+    observation_indices: Sequence[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.observation_indices is not None:
+            x = x[..., jnp.asarray(self.observation_indices)]
+        x = MLP(self.hidden_sizes, self.activation, self.layer_norm, orthogonal_init=False)(x)
+        mean = nn.Dense(self.action_dim)(x)
+        log_std = nn.Dense(self.action_dim)(x)
+        log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
+        return mean, log_std
+
+
+class EntropyCoefficient(nn.Module):
+    """Learnable alpha via log-param (`sac/flax_full_jit/entropy_coefficient.py:5-11`)."""
+
+    init_ent_coef: float = 1.0
+
+    @nn.compact
+    def __call__(self):
+        log_alpha = self.param("log_alpha", lambda key: jnp.full((), jnp.log(self.init_ent_coef)))
+        return jnp.exp(log_alpha)
 
 
 class NatureCNN(nn.Module):
@@ -129,12 +174,19 @@ class QCritic(nn.Module):
     activation: str = "relu"
     layer_norm: bool = False
     output_dim: int = 1
+    orthogonal_init: bool = False
+    observation_indices: Sequence[int] = None
 
     @nn.compact
     def __call__(self, obs, action):
+        if self.observation_indices is not None:
+            obs = obs[..., jnp.asarray(self.observation_indices)]
         x = jnp.concatenate([obs, action], axis=-1)
-        x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
-        return nn.Dense(self.output_dim, kernel_init=orthogonal(1.0), bias_init=constant(0.0))(x)
+        x = MLP(self.hidden_sizes, self.activation, self.layer_norm,
+                orthogonal_init=self.orthogonal_init)(x)
+        if self.orthogonal_init:
+            return nn.Dense(self.output_dim, kernel_init=orthogonal(1.0), bias_init=constant(0.0))(x)
+        return nn.Dense(self.output_dim)(x)
 
 
 class VectorQCritic(nn.Module):
@@ -147,6 +199,8 @@ class VectorQCritic(nn.Module):
     activation: str = "relu"
     layer_norm: bool = False
     output_dim: int = 1
+    orthogonal_init: bool = False
+    observation_indices: Sequence[int] = None
 
     @nn.compact
     def __call__(self, obs, action):
@@ -158,7 +212,10 @@ class VectorQCritic(nn.Module):
             out_axes=0,
             axis_size=self.nr_critics,
         )
-        return ensemble(self.hidden_sizes, self.activation, self.layer_norm, self.output_dim)(obs, action)
+        return ensemble(
+            self.hidden_sizes, self.activation, self.layer_norm, self.output_dim,
+            self.orthogonal_init, self.observation_indices,
+        )(obs, action)
 
 
 def get_processed_action_function(action_clipping_and_rescaling, low, high):

@@ -62,6 +62,39 @@ def alternating_mlp_rules(params):
     return jax.tree_util.tree_unflatten(treedef, specs)
 
 
+def tp_specs_for_tree(tree, tp_size=2):
+    """PartitionSpecs for an arbitrary pytree (params, TrainState, opt state):
+    every 2D ``.../Dense_<k>/kernel`` leaf is sharded over tp (column-parallel
+    for even k, row-parallel for odd k — adam moments share the param paths so
+    they shard identically); everything else is replicated.
+
+    The parity heuristic may occasionally pick two same-orientation layers in
+    a row; XLA then inserts the required collective — semantics are always
+    correct, orientation only affects collective placement.
+    """
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    specs = []
+    dense_re = re.compile(r"Dense_(\d+)'?\]\['kernel'\]$")
+    for path, leaf in flat:
+        path_str = jax.tree_util.keystr(path)
+        m = dense_re.search(path_str)
+        if m and np.ndim(leaf) == 2:
+            col = P(None, TP_AXIS) if np.shape(leaf)[1] % tp_size == 0 else None
+            row = P(TP_AXIS, None) if np.shape(leaf)[0] % tp_size == 0 else None
+            preferred = col if int(m.group(1)) % 2 == 0 else row
+            specs.append(preferred or col or row or P())
+        else:
+            specs.append(P())
+    return jax.tree_util.tree_unflatten(treedef, specs)
+
+
+def shard_tree(tree, mesh, specs):
+    """device_put a pytree according to per-leaf PartitionSpecs."""
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), tree, specs
+    )
+
+
 def constrain_params(params, mesh, specs):
     return jax.tree.map(
         lambda x, s: jax.lax.with_sharding_constraint(x, NamedSharding(mesh, s)),

@@ -68,17 +68,19 @@ def test_ppo_save_load_roundtrip(tmp_path):
 
 @pytest.mark.slow
 def test_ppo_learns_pendulum():
+    # Tuned Pendulum PPO hyperparameters (gamma=0.9 is the known unlock).
     config = make_config(
         "ppo.tpu",
         "classic.pendulum.tpu",
         **{
-            "algorithm.total_timesteps": 120_000,
-            "algorithm.nr_steps": 64,
-            "algorithm.minibatch_size": 256,
+            "algorithm.total_timesteps": 200_000,
+            "algorithm.nr_steps": 256,
+            "algorithm.minibatch_size": 512,
             "algorithm.nr_epochs": 10,
             "algorithm.learning_rate": 1e-3,
+            "algorithm.gamma": 0.9,
             "algorithm.entropy_coef": 0.0,
-            "environment.nr_envs": 16,
+            "environment.nr_envs": 8,
             "algorithm.evaluation_active": False,
         },
     )
