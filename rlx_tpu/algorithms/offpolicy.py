@@ -1,0 +1,347 @@
+"""Shared scaffolding for off-policy fused training programs.
+
+The reference deliberately copy-pastes this structure into every off-policy
+directory (`rl_x/algorithms/sac/flax_full_jit/sac.py:129-391`, likewise
+td3/ddpg/redq/droq/...).  Here the skeleton — on-device sharded replay
+buffer, prefill scan, eval/logging cadence scans, callbacks, checkpoint
+artifacts — lives once, and each algorithm directory implements only:
+
+- ``setup_states() -> dict[str, TrainState]``  (networks + optimizers)
+- ``act(states, observation, key) -> action``           (normalized [-1,1])
+- ``eval_act(states, observation) -> action``
+- ``update(states, batch, key, step) -> (states, metrics)``
+
+The training loop itself (1 env step : 1 gradient step, uniform in-jit
+sampling) matches the reference cadence semantics exactly: logging every
+``logging_frequency`` env steps, evaluation/save every
+``evaluation_and_save_frequency``.
+"""
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlx_tpu.models.mlp import get_processed_action_function
+from rlx_tpu.ops import replay_buffer as rb
+from rlx_tpu.parallel import mesh as mesh_lib
+from rlx_tpu.utils import checkpoint as ckpt
+from rlx_tpu.utils.logging import MetricsLogger, rlx_logger
+
+
+class OffPolicyAlgorithm:
+    def __init__(self, config, train_env, eval_env, run_path, writer):
+        self.config = config
+        self.train_env = train_env
+        self.eval_env = eval_env
+        self.run_path = run_path
+
+        a = config.algorithm
+        self.save_model = config.runner.save_model
+        self.save_path = f"{run_path}/models" if run_path else None
+        self.seed = config.environment.seed
+        self.total_timesteps = int(a.total_timesteps)
+        self.nr_envs = config.environment.nr_envs
+        self.learning_rate = a.learning_rate
+        self.buffer_size = int(a.buffer_size)
+        self.learning_starts = int(a.learning_starts)
+        self.batch_size = a.batch_size
+        self.gamma = a.gamma
+        self.tau = getattr(a, "tau", 0.005)
+        self.logging_frequency = int(a.logging_frequency)
+        self.evaluation_active = a.evaluation_active
+
+        self.total_training_timesteps = self.total_timesteps - self.learning_starts
+        self.eval_save_frequency = a.evaluation_and_save_frequency
+        if self.eval_save_frequency == -1:
+            self.eval_save_frequency = self.nr_envs * max(self.total_training_timesteps // self.nr_envs, 1)
+        self.nr_eval_save_iterations = max(self.total_training_timesteps // self.eval_save_frequency, 1)
+        self.nr_loggings_per_eval_save_iteration = max(self.eval_save_frequency // self.logging_frequency, 1)
+        self.nr_updates_per_logging_iteration = max(self.logging_frequency // self.nr_envs, 1)
+        self.capacity = max(self.buffer_size // self.nr_envs, 1)
+        self.prefill_iterations = (
+            int(np.ceil(self.learning_starts / self.nr_envs)) if self.learning_starts > 0 else 0
+        )
+
+        self.horizon = train_env.horizon
+        self.os_shape = train_env.single_observation_space.shape
+        self.as_shape = train_env.single_action_space.shape
+        from rlx_tpu.environments.types import ActionSpaceType
+
+        self.discrete = (
+            train_env.general_properties.action_space_type == ActionSpaceType.DISCRETE
+        )
+        if self.discrete:
+            self.nr_actions = train_env.single_action_space.n
+            self.action_dim = 1
+        else:
+            self.action_dim = int(np.prod(self.as_shape))
+
+        self.mesh = mesh_lib.make_mesh(
+            dp=(None if config.runner.mesh_dp == -1 else config.runner.mesh_dp),
+            tp=config.runner.mesh_tp,
+        )
+        self.dp_size = self.mesh.shape[mesh_lib.DP_AXIS]
+        self.shard_local_sampling = getattr(a, "shard_local_sampling", True)
+
+        self.logger = MetricsLogger(
+            config.runner.track_console, config.runner.track_tb, config.runner.track_wandb, writer
+        )
+        rlx_logger.info(f"Using device: {jax.default_backend()}, mesh: {dict(self.mesh.shape)}")
+
+        self.key = jax.random.PRNGKey(self.seed)
+        if self.discrete:
+            self.process_action = lambda a: a
+        else:
+            self.process_action = get_processed_action_function(
+                True, train_env.single_action_space.low, train_env.single_action_space.high
+            )
+
+        self.states = self.setup_states()
+        repl = mesh_lib.replicated_sharding(self.mesh)
+        self.states = jax.device_put(self.states, repl)
+
+        self._last_log_time = time.time()
+
+    # --- algorithm hooks ---------------------------------------------------
+    def setup_states(self):
+        raise NotImplementedError
+
+    def act(self, states, observation, key, step):
+        raise NotImplementedError
+
+    def eval_act(self, states, observation):
+        raise NotImplementedError
+
+    def update(self, states, batch, key, step):
+        raise NotImplementedError
+
+    def extra_buffer_fields(self):
+        """Override to store extra per-transition fields."""
+        return {}
+
+    # --- scaffolding -------------------------------------------------------
+    def _make_buffer(self):
+        buffer = rb.create(
+            self.capacity,
+            self.nr_envs,
+            {
+                "observation": (self.os_shape, jnp.float32),
+                "next_observation": (self.os_shape, jnp.float32),
+                "action": ((), jnp.int32) if self.discrete else ((self.action_dim,), jnp.float32),
+                "reward": ((), jnp.float32),
+                "terminated": ((), jnp.float32),
+                "truncated": ((), jnp.float32),
+                **self.extra_buffer_fields(),
+            },
+        )
+        sharding = jax.sharding.NamedSharding(
+            self.mesh, jax.sharding.PartitionSpec(None, mesh_lib.DP_AXIS)
+        )
+        data = {
+            name: jax.lax.with_sharding_constraint(arr, sharding)
+            for name, arr in buffer.data.items()
+        }
+        return buffer.replace(data=data)
+
+    def _store_step(self, buffer, observation, action, env_state):
+        return rb.add(
+            buffer,
+            {
+                "observation": observation,
+                "next_observation": env_state.final_observation,
+                "action": action,
+                "reward": env_state.reward,
+                "terminated": env_state.terminated.astype(jnp.float32),
+                "truncated": env_state.truncated.astype(jnp.float32),
+            },
+        )
+
+    def _learning_step(self, carry, step):
+        states, buffer, env_state, key = carry
+        key, action_key, sample_key, update_key = jax.random.split(key, 4)
+
+        observation = env_state.observation
+        action = self.act(states, observation, action_key, step)
+        env_state = self.train_env.step(env_state, self.process_action(action))
+        buffer = self._store_step(buffer, observation, action, env_state)
+
+        batch = rb.sample(
+            buffer, sample_key, self.batch_size,
+            shard_local=self.shard_local_sampling, dp_size=self.dp_size,
+        )
+        batch = mesh_lib.shard_batch(batch, self.mesh)
+        states, metrics = self.update(states, batch, update_key, step)
+        return (states, buffer, env_state, key), (env_state.info, metrics)
+
+    def _logging_iteration(self, carry, logging_iteration_step, eval_save_iteration_step):
+        states, buffer, env_state, key = carry
+        key, subkey = jax.random.split(key)
+        step_base = (
+            eval_save_iteration_step * self.nr_loggings_per_eval_save_iteration
+            + logging_iteration_step
+        ) * self.nr_updates_per_logging_iteration
+        carry, (infos, metrics) = jax.lax.scan(
+            self._learning_step,
+            (states, buffer, env_state, subkey),
+            step_base + jnp.arange(self.nr_updates_per_logging_iteration),
+        )
+        if self.config.algorithm.logging_active:
+            combined = {**jax.tree.map(jnp.mean, infos), **jax.tree.map(jnp.mean, metrics)}
+            nr_update_iteration = step_base + self.nr_updates_per_logging_iteration
+            jax.debug.callback(
+                self._log_train_callback, combined, nr_update_iteration, logging_iteration_step
+            )
+        return carry, None
+
+    def _eval_iteration(self, states, key, eval_save_iteration_step):
+        def single_eval_step(carry, _):
+            states, eval_env_state = carry
+            action = self.eval_act(states, eval_env_state.observation)
+            eval_env_state = self.eval_env.step(eval_env_state, self.process_action(action))
+            return (states, eval_env_state), None
+
+        eval_env_state = self.eval_env.reset(key, eval_mode=True)
+        eval_env_state = mesh_lib.shard_batch(eval_env_state, self.mesh)
+        (_, eval_env_state), _ = jax.lax.scan(
+            single_eval_step, (states, eval_env_state), None, self.horizon
+        )
+        eval_metrics = {
+            "eval/episode_return": jnp.mean(eval_env_state.info["rollout/episode_return"]),
+            "eval/episode_length": jnp.mean(eval_env_state.info["rollout/episode_length"]),
+        }
+        jax.debug.callback(self._log_eval_callback, eval_metrics, eval_save_iteration_step)
+
+    def build_train_function(self):
+        def jitable_train_function(key):
+            key, reset_key = jax.random.split(key)
+            env_state = self.train_env.reset(reset_key, eval_mode=False)
+            env_state = mesh_lib.shard_batch(env_state, self.mesh)
+            buffer = self._make_buffer()
+
+            def prefill_step(carry, _):
+                env_state, buffer, key = carry
+                key, sample_key = jax.random.split(key)
+                if self.discrete:
+                    action = jax.random.randint(
+                        sample_key, (self.nr_envs,), 0, self.nr_actions, dtype=jnp.int32
+                    )
+                else:
+                    action = jax.random.uniform(
+                        sample_key, (self.nr_envs, self.action_dim), minval=-1.0, maxval=1.0
+                    )
+                observation = env_state.observation
+                env_state = self.train_env.step(env_state, self.process_action(action))
+                buffer = self._store_step(buffer, observation, action, env_state)
+                return (env_state, buffer, key), None
+
+            if self.prefill_iterations > 0:
+                (env_state, buffer, key), _ = jax.lax.scan(
+                    prefill_step, (env_state, buffer, key), None, self.prefill_iterations
+                )
+
+            def eval_save_iteration(carry, eval_save_iteration_step):
+                states, buffer, env_state, key = carry
+                key, learn_key, eval_key = jax.random.split(key, 3)
+                (states, buffer, env_state, _), _ = jax.lax.scan(
+                    partial(self._logging_iteration, eval_save_iteration_step=eval_save_iteration_step),
+                    (states, buffer, env_state, learn_key),
+                    jnp.arange(self.nr_loggings_per_eval_save_iteration),
+                )
+                if self.evaluation_active:
+                    self._eval_iteration(states, eval_key, eval_save_iteration_step)
+                if self.save_model:
+                    jax.debug.callback(self._save_callback, states)
+                return (states, buffer, env_state, key), None
+
+            final_carry, _ = jax.lax.scan(
+                eval_save_iteration,
+                (self.states, buffer, env_state, key),
+                jnp.arange(self.nr_eval_save_iterations),
+            )
+            return final_carry[0]
+
+        return jitable_train_function
+
+    def train(self):
+        train_function = jax.jit(self.build_train_function())
+        self.key, run_key = jax.random.split(self.key)
+        self._last_log_time = time.time()
+        start = time.time()
+        self.states = jax.block_until_ready(train_function(run_key))
+        rlx_logger.info(f"Average time: {time.time() - start:.2f} s")
+
+    # --- callbacks ---------------------------------------------------------
+    def _log_train_callback(self, metrics, nr_update_iteration, logging_iteration_step):
+        metrics = {k: np.asarray(v) for k, v in metrics.items()}
+        now = time.time()
+        metrics["time/sps"] = int(
+            self.nr_envs * self.nr_updates_per_logging_iteration / max(now - self._last_log_time, 1e-9)
+        )
+        self._last_log_time = now
+        global_step = int(np.asarray(nr_update_iteration)) * self.nr_envs
+        metrics["steps/nr_env_steps"] = global_step
+        metrics["steps/nr_updates"] = int(np.asarray(nr_update_iteration))
+        is_last = self.evaluation_active and (
+            int(np.asarray(logging_iteration_step)) + 1 == self.nr_loggings_per_eval_save_iteration
+        )
+        self.logger.log_dict(metrics, global_step, wandb_commit=not is_last)
+
+    def _log_eval_callback(self, metrics, eval_save_iteration_step):
+        global_step = int((np.asarray(eval_save_iteration_step) + 1) * self.eval_save_frequency)
+        self.logger.log_dict({k: np.asarray(v) for k, v in metrics.items()}, global_step)
+
+    def _save_callback(self, states):
+        ckpt.save_model_file(
+            self.save_path,
+            "latest.model",
+            self.checkpoint_tree(states),
+            self.config.algorithm.to_dict(),
+        )
+
+    def checkpoint_tree(self, states):
+        tree = {}
+        for name, state in states.items():
+            tree[name] = state.params
+            if getattr(state, "target_params", None) is not None:
+                tree[f"{name}_target"] = state.target_params
+        return tree
+
+    def restore_from_tree(self, restored):
+        states = dict(self.states)
+        for name, state in states.items():
+            state = state.replace(params=restored[name])
+            if f"{name}_target" in restored:
+                state = state.replace(target_params=restored[f"{name}_target"])
+            states[name] = state
+        self.states = states
+
+    def save(self):
+        self._save_callback(self.states)
+
+    @classmethod
+    def load(cls, config, train_env, eval_env, run_path, writer, explicitly_set_algorithm_params):
+        restored, loaded_config = ckpt.load_model_file(config.runner.load_model)
+        ckpt.merge_loaded_algorithm_config(config, loaded_config, explicitly_set_algorithm_params)
+        model = cls(config, train_env, eval_env, run_path, writer)
+        restored, _ = ckpt.load_model_file(config.runner.load_model, model.checkpoint_tree(model.states))
+        model.restore_from_tree(restored)
+        return model
+
+    def test(self, episodes):
+        @jax.jit
+        def rollout(env_state):
+            action = self.eval_act(self.states, env_state.observation)
+            return self.eval_env.step(env_state, self.process_action(action))
+
+        self.key, reset_key = jax.random.split(self.key)
+        env_state = self.eval_env.reset(reset_key, eval_mode=True)
+        returns = []
+        for _ in range(episodes):
+            for _ in range(self.horizon):
+                env_state = rollout(env_state)
+            returns.append(float(jnp.mean(env_state.info["rollout/episode_return"])))
+            rlx_logger.info(f"eval/episode_return: {returns[-1]:.2f}")
+        return returns

@@ -1,0 +1,14 @@
+from ml_collections import config_dict
+
+
+def get_config(environment_name):
+    config = config_dict.ConfigDict()
+
+    config.name = environment_name
+
+    config.seed = 1
+    config.nr_envs = 8
+    config.horizon = 500
+    config.render = False
+
+    return config

@@ -36,9 +36,10 @@ class MLP(nn.Module):
 
     hidden_sizes: Sequence[int]
     activation: str = "tanh"
-    layer_norm: bool = False
+    layer_norm: bool = False        # LayerNorm after the first Dense (reference locomotion nets)
     kernel_gain: float = float(np.sqrt(2))
     orthogonal_init: bool = True
+    layer_norm_all: bool = False    # LayerNorm after every Dense (PQN/CrossQ-style)
 
     @nn.compact
     def __call__(self, x):
@@ -48,7 +49,7 @@ class MLP(nn.Module):
                 x = nn.Dense(size, kernel_init=orthogonal(self.kernel_gain), bias_init=constant(0.0))(x)
             else:
                 x = nn.Dense(size)(x)
-            if self.layer_norm and i == 0:
+            if self.layer_norm_all or (self.layer_norm and i == 0):
                 x = nn.LayerNorm()(x)
             x = act(x)
         return x
@@ -78,6 +79,49 @@ class SquashedGaussianPolicy(nn.Module):
         log_std = nn.Dense(self.action_dim)(x)
         log_std = jnp.clip(log_std, self.log_std_min, self.log_std_max)
         return mean, log_std
+
+
+class DiscreteQNet(nn.Module):
+    """obs -> Q-values per action.  Flat obs use an MLP trunk; image obs
+    (ndim >= 3) the Nature CNN (`rl_x/algorithms/dqn/flax/critic.py:20-33`).
+    ``output_dim_per_action`` > 1 yields distributional heads
+    ([..., nr_actions, output_dim_per_action], e.g. C51 atoms).
+    """
+
+    nr_actions: int
+    hidden_sizes: Sequence[int]
+    activation: str = "relu"
+    output_dim_per_action: int = 1
+    layer_norm_all: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if x.ndim >= 4:  # [..., H, W, C] images
+            x = NatureCNN()(x)
+        else:
+            x = MLP(self.hidden_sizes, self.activation, orthogonal_init=False,
+                    layer_norm_all=self.layer_norm_all)(x)
+        out = nn.Dense(self.nr_actions * self.output_dim_per_action)(x)
+        if self.output_dim_per_action > 1:
+            return out.reshape(out.shape[:-1] + (self.nr_actions, self.output_dim_per_action))
+        return out
+
+
+class DeterministicTanhPolicy(nn.Module):
+    """DDPG/TD3 policy: trunk -> tanh(Dense) in [-1, 1]."""
+
+    action_dim: int
+    hidden_sizes: Sequence[int]
+    activation: str = "relu"
+    layer_norm: bool = False
+    observation_indices: Sequence[int] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.observation_indices is not None:
+            x = x[..., jnp.asarray(self.observation_indices)]
+        x = MLP(self.hidden_sizes, self.activation, self.layer_norm, orthogonal_init=False)(x)
+        return jnp.tanh(nn.Dense(self.action_dim)(x))
 
 
 class EntropyCoefficient(nn.Module):
