@@ -168,12 +168,17 @@ class OffPolicyAlgorithm:
         env_state = self.train_env.step(env_state, self.process_action(action))
         buffer = self._store_step(buffer, observation, action, env_state)
 
-        batch = rb.sample(
-            buffer, sample_key, self.batch_size,
-            shard_local=self.shard_local_sampling, dp_size=self.dp_size,
-        )
-        batch = mesh_lib.shard_batch(batch, self.mesh)
-        states, metrics = self.update(states, batch, update_key, step)
+        if hasattr(self, "update_with_buffer"):
+            # High-UTD algorithms (REDQ/DroQ/AQE) draw several fresh batches
+            # per env step and own their sampling.
+            states, metrics = self.update_with_buffer(states, buffer, update_key, step)
+        else:
+            batch = rb.sample(
+                buffer, sample_key, self.batch_size,
+                shard_local=self.shard_local_sampling, dp_size=self.dp_size,
+            )
+            batch = mesh_lib.shard_batch(batch, self.mesh)
+            states, metrics = self.update(states, batch, update_key, step)
         return (states, buffer, env_state, key), (env_state.info, metrics)
 
     def _logging_iteration(self, carry, logging_iteration_step, eval_save_iteration_step):

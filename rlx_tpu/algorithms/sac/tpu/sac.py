@@ -27,6 +27,17 @@ from rlx_tpu.models.mlp import EntropyCoefficient, SquashedGaussianPolicy, Vecto
 
 
 class SAC(OffPolicyAlgorithm):
+    def _build_critic(self, a):
+        """Overridable: TQC swaps in quantile heads, DroQ adds dropout."""
+        return VectorQCritic(
+            hidden_sizes=tuple(a.critic_hidden_sizes),
+            nr_critics=a.nr_critics,
+            activation=a.activation,
+            layer_norm=a.layer_norm,
+            observation_indices=getattr(self.train_env, "critic_observation_indices", None),
+            dropout_rate=getattr(a, "dropout_rate", 0.0),
+        )
+
     def setup_states(self):
         a = self.config.algorithm
         self.key, policy_key, critic_key, alpha_key = jax.random.split(self.key, 4)
@@ -40,13 +51,7 @@ class SAC(OffPolicyAlgorithm):
             log_std_max=a.log_std_max,
             observation_indices=getattr(self.train_env, "policy_observation_indices", None),
         )
-        self.critic = VectorQCritic(
-            hidden_sizes=tuple(a.critic_hidden_sizes),
-            nr_critics=a.nr_critics,
-            activation=a.activation,
-            layer_norm=a.layer_norm,
-            observation_indices=getattr(self.train_env, "critic_observation_indices", None),
-        )
+        self.critic = self._build_critic(a)
         self.entropy_coefficient = EntropyCoefficient(1.0)
 
         if a.target_entropy == "auto":

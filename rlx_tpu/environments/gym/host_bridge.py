@@ -1,0 +1,180 @@
+"""Gymnasium host environments bridged INTO the fused device program.
+
+The reference runs host envs with a separate host-driven algorithm style per
+framework (`rl_x/algorithms/ppo/flax/ppo.py:265-344`: python while-loop,
+`jax.device_get` round trips per step).  The TPU build instead keeps ONE
+fused program per algorithm and bridges host envs through ordered
+``jax.experimental.io_callback``s: the callback does the vectorized
+Gymnasium step on host and ships back batched arrays.  Host state (the env
+objects) never enters the jit.
+
+Vectorization is an in-process sync loop with SAME-STEP auto-reset managed
+here (observation = post-reset, final_observation = pre-reset), matching the
+device-env protocol exactly, so every algorithm works unchanged on host
+envs.  Episode statistics mirror the reference's RecordEpisodeStatistics
+(`rl_x/environments/gym/mujoco/humanoid_v4/wrappers.py:36-58`).
+
+Limitations (documented): host envs run at mesh dp=1 (callbacks are not
+sharded across hosts yet); throughput is bound by the host step loop.
+"""
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from rlx_tpu.environments.spaces import BoxSpace, DiscreteSpace
+
+
+@struct.dataclass
+class HostEnvState:
+    observation: jax.Array
+    final_observation: jax.Array
+    reward: jax.Array
+    terminated: jax.Array
+    truncated: jax.Array
+    info: Any
+    key: jax.Array
+    eval_mode: bool = struct.field(pytree_node=False, default=False)
+
+
+class HostGymEnv:
+    """Adapter presenting the device-env protocol over Gymnasium envs."""
+
+    def __init__(self, env_id, nr_envs, seed=0, env_kwargs=None):
+        import gymnasium as gym
+
+        self.env_id = env_id
+        self.nr_envs = nr_envs
+        self._envs = [gym.make(env_id, **(env_kwargs or {})) for _ in range(nr_envs)]
+        self._seed = seed
+        self._episode_return = np.zeros(nr_envs)
+        self._episode_length = np.zeros(nr_envs)
+        self._last_stats = np.zeros((nr_envs, 2), dtype=np.float32)
+
+        env0 = self._envs[0]
+        obs_space = env0.observation_space
+        act_space = env0.action_space
+        self.single_observation_space = BoxSpace(
+            low=np.asarray(obs_space.low, np.float32),
+            high=np.asarray(obs_space.high, np.float32),
+            shape=obs_space.shape,
+        )
+        if hasattr(act_space, "n"):
+            self.single_action_space = DiscreteSpace(act_space.n)
+            self._discrete = True
+        else:
+            self.single_action_space = BoxSpace(
+                low=np.asarray(act_space.low, np.float32),
+                high=np.asarray(act_space.high, np.float32),
+                shape=act_space.shape,
+            )
+            self._discrete = False
+
+        spec_horizon = getattr(env0.spec, "max_episode_steps", None)
+        self.horizon = int(spec_horizon or 1000)
+
+        self._obs_shape = (nr_envs,) + tuple(obs_space.shape)
+
+    # ------------------------------------------------------------- host side
+    def _host_reset(self, seed):
+        observations = []
+        for i, env in enumerate(self._envs):
+            obs, _ = env.reset(seed=int(seed) + i)
+            observations.append(obs)
+        self._episode_return[:] = 0.0
+        self._episode_length[:] = 0.0
+        self._last_stats[:] = 0.0
+        return np.asarray(observations, np.float32)
+
+    def _host_step(self, actions):
+        actions = np.asarray(actions)
+        obs_out = np.empty(self._obs_shape, np.float32)
+        final_out = np.empty(self._obs_shape, np.float32)
+        reward = np.empty(self.nr_envs, np.float32)
+        terminated = np.empty(self.nr_envs, bool)
+        truncated = np.empty(self.nr_envs, bool)
+        for i, env in enumerate(self._envs):
+            action = actions[i]
+            if self._discrete:
+                action = int(action)
+            obs, r, term, trunc, _ = env.step(action)
+            final_out[i] = obs
+            reward[i] = r
+            terminated[i] = term
+            truncated[i] = trunc
+            self._episode_return[i] += r
+            self._episode_length[i] += 1
+            if term or trunc:
+                self._last_stats[i] = (self._episode_return[i], self._episode_length[i])
+                self._episode_return[i] = 0.0
+                self._episode_length[i] = 0.0
+                obs, _ = env.reset()
+            obs_out[i] = obs
+        return (
+            obs_out,
+            final_out,
+            reward,
+            terminated,
+            truncated,
+            self._last_stats.copy(),
+        )
+
+    # ----------------------------------------------------------- device side
+    def reset(self, key, eval_mode=False):
+        import jax.experimental
+
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        observation = jax.experimental.io_callback(
+            self._host_reset,
+            jax.ShapeDtypeStruct(self._obs_shape, jnp.float32),
+            seed,
+            ordered=True,
+        )
+        zeros = jnp.zeros(self.nr_envs)
+        falses = jnp.zeros(self.nr_envs, bool)
+        return HostEnvState(
+            observation=observation,
+            final_observation=observation,
+            reward=zeros,
+            terminated=falses,
+            truncated=falses,
+            info={
+                "rollout/episode_return": zeros,
+                "rollout/episode_length": zeros,
+            },
+            key=key,
+            eval_mode=eval_mode,
+        )
+
+    def step(self, state, action):
+        import jax.experimental
+
+        out_specs = (
+            jax.ShapeDtypeStruct(self._obs_shape, jnp.float32),
+            jax.ShapeDtypeStruct(self._obs_shape, jnp.float32),
+            jax.ShapeDtypeStruct((self.nr_envs,), jnp.float32),
+            jax.ShapeDtypeStruct((self.nr_envs,), bool),
+            jax.ShapeDtypeStruct((self.nr_envs,), bool),
+            jax.ShapeDtypeStruct((self.nr_envs, 2), jnp.float32),
+        )
+        observation, final_observation, reward, terminated, truncated, stats = (
+            jax.experimental.io_callback(self._host_step, out_specs, action, ordered=True)
+        )
+        return state.replace(
+            observation=observation,
+            final_observation=final_observation,
+            reward=reward,
+            terminated=terminated,
+            truncated=truncated,
+            info={
+                "rollout/episode_return": stats[:, 0],
+                "rollout/episode_length": stats[:, 1],
+            },
+        )
+
+    def close(self):
+        for env in self._envs:
+            env.close()

@@ -220,14 +220,23 @@ class QCritic(nn.Module):
     output_dim: int = 1
     orthogonal_init: bool = False
     observation_indices: Sequence[int] = None
+    dropout_rate: float = 0.0  # DroQ-style Dense -> Dropout -> LayerNorm -> act
 
     @nn.compact
     def __call__(self, obs, action):
         if self.observation_indices is not None:
             obs = obs[..., jnp.asarray(self.observation_indices)]
         x = jnp.concatenate([obs, action], axis=-1)
-        x = MLP(self.hidden_sizes, self.activation, self.layer_norm,
-                orthogonal_init=self.orthogonal_init)(x)
+        if self.dropout_rate > 0.0:
+            act = ACTIVATIONS[self.activation]
+            for size in self.hidden_sizes:
+                x = nn.Dense(size)(x)
+                x = nn.Dropout(rate=self.dropout_rate, deterministic=False)(x)
+                x = nn.LayerNorm()(x)
+                x = act(x)
+        else:
+            x = MLP(self.hidden_sizes, self.activation, self.layer_norm,
+                    orthogonal_init=self.orthogonal_init)(x)
         if self.orthogonal_init:
             return nn.Dense(self.output_dim, kernel_init=orthogonal(1.0), bias_init=constant(0.0))(x)
         return nn.Dense(self.output_dim)(x)
@@ -245,20 +254,21 @@ class VectorQCritic(nn.Module):
     output_dim: int = 1
     orthogonal_init: bool = False
     observation_indices: Sequence[int] = None
+    dropout_rate: float = 0.0
 
     @nn.compact
     def __call__(self, obs, action):
         ensemble = nn.vmap(
             QCritic,
             variable_axes={"params": 0},
-            split_rngs={"params": True},
+            split_rngs={"params": True, "dropout": True},
             in_axes=None,
             out_axes=0,
             axis_size=self.nr_critics,
         )
         return ensemble(
             self.hidden_sizes, self.activation, self.layer_norm, self.output_dim,
-            self.orthogonal_init, self.observation_indices,
+            self.orthogonal_init, self.observation_indices, self.dropout_rate,
         )(obs, action)
 
 

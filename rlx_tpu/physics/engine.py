@@ -1,4 +1,4 @@
-"""Batched forward dynamics + integrator (pure JAX).
+"""Batched forward dynamics + integrator (pure JAX, batch-last layout).
 
 Formulation: world-frame, world-origin-referenced spatial algebra.
 Per substep:
@@ -9,33 +9,39 @@ Per substep:
    (linear velocity world, angular velocity body-local);
 3. mass matrix  M = sum_i J_i^T I_i^W J_i  (+ armature on the diagonal);
 4. bias forces via the velocity-product recursion
-   zeta_i = zeta_parent + v_i x (S_i qd_i),  f_i = I zeta + v x* I v,
-   with gravity folded in as base acceleration  zeta_root = [0; -g];
-5. penalty contacts (sphere/capsule-endpoint vs plane z=0): spring-damper
-   normal + smooth Coulomb friction;
+   zeta_i = zeta_parent + v_i x (S_i^moving qd_i),  f_i = I zeta + v x* I v,
+   with gravity folded in as base acceleration  zeta_root = [0; -g]
+   (for the free joint only the child-fixed angular columns contribute to
+   the velocity-product term — the world-aligned linear columns are
+   constant);
+5. penalty contacts (sphere/capsule-endpoint vs plane z=0): critically
+   damped spring-damper from per-contact effective mass + smooth Coulomb
+   friction;
 6. actuators: position servo  clip(kp (ctrl - q) - kv qd)  or torque motor;
    passive -damping qd - frictionloss tanh(qd/0.05); joint-limit springs;
-7. qacc = solve(M, tau - C + J^T f_ext); semi-implicit Euler; quaternion
-   integration for the free joint.
+7. qacc = M^{-1} (tau - C) via an unrolled batch-last Cholesky;
+   semi-implicit Euler with quaternion integration for the free joint.
 
-Everything is ``[B, ...]``-batched; loops are over the static tree (<=15
-bodies) and unrolled by XLA into one fused program of [B,6,6]/[B,nv,nv]
-einsums and a batched Cholesky solve — dense, static, MXU-friendly.
+PERFORMANCE: all internal state is ``[comp..., B]`` (batch last) so the env
+batch fills the TPU's 128-wide lanes; structural dims (3/6/nv<=15) are
+static and unrolled.  The first ``[B, small, small]`` version of this file
+measured ~9 ms per substep at B=4096 on one v5e chip (~10x lane waste);
+see rlx_tpu/physics/batched.py for the layout rationale.
+
+Public API stays batch-first: qpos [B, nq], qvel [B, nv], ctrl [B, nu].
 
 Validated against MuJoCo C: mass matrix (mj_fullM), bias (qfrc_bias), and
 smooth-dynamics qacc in tests/test_physics.py.  The contact model is an
 intentional departure from MuJoCo's solver (soft penalty, brax-style) —
-solver-based contact does not map well onto fused TPU batch programs.
+solver-based contact does not map onto fused TPU batch programs.
 """
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rlx_tpu.physics import batched as bl
 from rlx_tpu.physics.model import FREE, HINGE, PhysicsModel
-from rlx_tpu.physics import spatial as sp
 
 
 def _ancestor_masks(model: PhysicsModel) -> np.ndarray:
@@ -52,224 +58,261 @@ def _ancestor_masks(model: PhysicsModel) -> np.ndarray:
     return mask
 
 
-def kinematics(model: PhysicsModel, qpos):
-    """Batched FK -> (R [B, nbody, 3, 3], p [B, nbody, 3])."""
-    B = qpos.shape[0]
+def _kinematics_T(model: PhysicsModel, qposT):
+    """FK in batch-last layout: qposT [nq, B] -> (Rs, ps) lists of
+    ([3, 3, B], [3, B]) per body."""
+    B = qposT.shape[-1]
     Rs, ps = [], []
+    eye = jnp.broadcast_to(np.eye(3, dtype=np.float32)[:, :, None], (3, 3, B))
+    zero3 = jnp.zeros((3, B))
     for i in range(model.nbody):
         par = int(model.parent[i])
-        if par == -1:
-            Rp = jnp.broadcast_to(jnp.eye(3), (B, 3, 3))
-            pp = jnp.zeros((B, 3))
-        else:
-            Rp, pp = Rs[par], ps[par]
-        R_off = sp.quat_to_rot(jnp.asarray(model.body_quat[i]))
-        R_frame = Rp @ R_off
-        p_frame = pp + jnp.einsum("bij,j->bi", Rp, jnp.asarray(model.body_pos[i]))
+        Rp, pp = (Rs[par], ps[par]) if par != -1 else (eye, zero3)
+        R_off = np.asarray(model.body_quat[i])
+        # constant quaternion -> constant rotation matrix (host-side)
+        w, x, y, z = R_off
+        C = np.array(
+            [
+                [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+                [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+                [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+            ],
+            dtype=np.float32,
+        )
+        R_frame = Rp if np.allclose(C, np.eye(3)) else bl.matmul_const(Rp, C)
+        p_frame = pp + bl.matvec_const(Rp, np.asarray(model.body_pos[i]))
         jt = int(model.jnt_type[i])
         if jt == FREE:
             qa = int(model.qpos_adr[i])
-            p = qpos[:, qa: qa + 3]
-            R = sp.quat_to_rot(qpos[:, qa + 3: qa + 7])
+            p = qposT[qa: qa + 3]
+            R = bl.quat_to_rot(qposT[qa + 3: qa + 7])
         elif jt == HINGE:
             qa = int(model.qpos_adr[i])
-            angle = qpos[:, qa]
-            axis = jnp.asarray(model.jnt_axis[i])
-            # Rodrigues rotation about the local joint axis
-            K = sp.skew(axis)
-            s, c = jnp.sin(angle), jnp.cos(angle)
-            R_axis = (
-                jnp.eye(3)[None]
-                + s[:, None, None] * K[None]
-                + (1.0 - c)[:, None, None] * (K @ K)[None]
-            )
-            R = R_frame @ R_axis
-            anchor = jnp.asarray(model.jnt_pos[i])
-            p = p_frame + jnp.einsum("bij,j->bi", R_frame - R, anchor)
+            R_axis = bl.rodrigues(np.asarray(model.jnt_axis[i]), qposT[qa])
+            R = bl.matmul(R_frame, R_axis)
+            anchor = np.asarray(model.jnt_pos[i])
+            p = p_frame + bl.matvec_const(R_frame - R, anchor)
         else:
             R, p = R_frame, p_frame
         Rs.append(R)
         ps.append(p)
-    return jnp.stack(Rs, axis=1), jnp.stack(ps, axis=1)
+    return Rs, ps
 
 
-def _jacobian_columns(model: PhysicsModel, R, p):
-    """[B, nv, 6] world-origin Plücker columns for every dof."""
-    B = R.shape[0]
+def _jacobian_columns_T(model: PhysicsModel, Rs, ps):
+    """[nv, 6, B] world-origin Plücker columns."""
+    B = ps[0].shape[-1]
     cols = [None] * model.nv
+    zeros = jnp.zeros((3, B))
     for i in range(model.nbody):
         jt = int(model.jnt_type[i])
         if jt == FREE:
             d = int(model.dof_adr[i])
             for k in range(3):  # linear dofs, world axes
-                e = jnp.zeros((B, 3)).at[:, k].set(1.0)
-                cols[d + k] = jnp.concatenate([jnp.zeros((B, 3)), e], axis=-1)
-            for k in range(3):  # angular dofs, body-local axes (MuJoCo convention)
-                a = R[:, i, :, k]
-                cols[d + 3 + k] = jnp.concatenate([a, jnp.cross(p[:, i], a)], axis=-1)
+                e = zeros.at[k].set(1.0)
+                cols[d + k] = jnp.concatenate([zeros, e])
+            for k in range(3):  # angular dofs, body-local axes
+                a = Rs[i][:, k]
+                cols[d + 3 + k] = jnp.concatenate([a, bl.cross(ps[i], a)])
         elif jt == HINGE:
             d = int(model.dof_adr[i])
-            a = jnp.einsum("bij,j->bi", R[:, i], jnp.asarray(model.jnt_axis[i]))
-            anchor = p[:, i] + jnp.einsum("bij,j->bi", R[:, i], jnp.asarray(model.jnt_pos[i]))
-            cols[d] = jnp.concatenate([a, jnp.cross(anchor, a)], axis=-1)
-    return jnp.stack(cols, axis=1)
+            a = bl.matvec_const(Rs[i], np.asarray(model.jnt_axis[i]))
+            anchor = ps[i] + bl.matvec_const(Rs[i], np.asarray(model.jnt_pos[i]))
+            cols[d] = jnp.concatenate([a, bl.cross(anchor, a)])
+    return jnp.stack(cols)
 
 
-def _body_inertias_world(model: PhysicsModel, R, p):
-    """[B, nbody, 6, 6] spatial inertias at world-origin reference."""
-    R_icom = R @ sp.quat_to_rot(jnp.asarray(model.body_iquat))[None]
-    I_diag = jnp.asarray(model.body_inertia)  # [nbody, 3]
-    I_c = jnp.einsum("bnij,nj,bnkj->bnik", R_icom, I_diag, R_icom)
-    com = p + jnp.einsum("bnij,nj->bni", R, jnp.asarray(model.body_ipos))
-    return sp.spatial_inertia_world(jnp.asarray(model.body_mass)[None, :], I_c, com)
+def _spatial_inertia_T(model: PhysicsModel, i, R, p):
+    """[6, 6, B] world-origin spatial inertia of body i."""
+    w, x, y, z = np.asarray(model.body_iquat[i])
+    C = np.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ],
+        dtype=np.float32,
+    )
+    R_icom = bl.matmul_const(R, C)
+    I_diag = np.asarray(model.body_inertia[i])  # principal moments
+    # I_c = R_icom diag(I) R_icom^T
+    scaled = R_icom * I_diag[None, :, None]
+    I_c = bl.matmul(scaled, bl.transpose(R_icom))
+    com = p + bl.matvec_const(R, np.asarray(model.body_ipos[i]))
+    c = bl.skew(com)
+    m = float(model.body_mass[i])
+    top_left = I_c + m * bl.matmul(c, bl.transpose(c))
+    top_right = m * c
+    bottom_left = m * bl.transpose(c)
+    eyeB = jnp.broadcast_to(np.eye(3, dtype=np.float32)[:, :, None], c.shape)
+    bottom_right = m * eyeB
+    top = jnp.concatenate([top_left, top_right], axis=1)
+    bottom = jnp.concatenate([bottom_left, bottom_right], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
 
 
-def _contact_forces(model: PhysicsModel, R, p, v_bodies, contact_timeconst, contact_dampratio):
-    """Penalty plane contacts -> per-body world-origin spatial forces [B, nbody, 6].
+def _crm_T(v):
+    """[6, B] -> [6, 6, B] spatial motion cross matrix."""
+    w = bl.skew(v[:3])
+    lin = bl.skew(v[3:])
+    zero = jnp.zeros_like(w)
+    top = jnp.concatenate([w, zero], axis=1)
+    bottom = jnp.concatenate([lin, w], axis=1)
+    return jnp.concatenate([top, bottom], axis=0)
 
-    Gains are critically damped per contact from the effective mass
-    (MuJoCo solref-style): omega = 1/timeconst, k = m_eff omega^2,
-    c = 2 zeta m_eff omega — keeps dt * omega << 1 regardless of link
-    masses, which a fixed global stiffness cannot.
-    """
-    B = R.shape[0]
-    F = jnp.zeros((B, model.nbody, 6))
+
+def mass_matrix_bias(model: PhysicsModel, qpos, qvel):
+    """Diagnostics/testing API: (M [B, nv, nv] incl. armature, C [B, nv])."""
+    qposT = qpos.T
+    qvelT = qvel.T
+    M, C, *_ = _dynamics_T(model, qposT, qvelT)
+    return jnp.transpose(M, (2, 0, 1)), C.T
+
+
+def _dynamics_T(model: PhysicsModel, qposT, qvelT):
+    """Core: returns (M [nv, nv, B], C [nv, B], Rs, ps, v list, cols)."""
+    B = qposT.shape[-1]
+    masks = _ancestor_masks(model)
+    Rs, ps = _kinematics_T(model, qposT)
+    cols = _jacobian_columns_T(model, Rs, ps)  # [nv, 6, B]
+
+    g = np.asarray(model.gravity)
+    zeta0 = jnp.concatenate([jnp.zeros((3, B)), jnp.broadcast_to((-g.astype(np.float32))[:, None], (3, B))])
+
+    M = jnp.zeros((model.nv, model.nv, B))
+    C = jnp.zeros((model.nv, B))
+    v_list = [None] * model.nbody
+    zeta_list = [None] * model.nbody
+    zero6 = jnp.zeros((6, B))
+
+    for i in range(model.nbody):
+        par = int(model.parent[i])
+        v_par = v_list[par] if par != -1 else zero6
+        z_par = zeta_list[par] if par != -1 else zeta0
+        jt = int(model.jnt_type[i])
+        d = int(model.dof_adr[i])
+        if jt == FREE:
+            own = (cols[d: d + 6] * qvelT[d: d + 6, None, :]).sum(0)
+            own_moving = (cols[d + 3: d + 6] * qvelT[d + 3: d + 6, None, :]).sum(0)
+        elif jt == HINGE:
+            own = cols[d] * qvelT[d][None]
+            own_moving = own
+        else:
+            own = own_moving = zero6
+        v_i = v_par + own
+        zeta_i = z_par + bl.matvec(_crm_T(v_i), own_moving)
+        v_list[i] = v_i
+        zeta_list[i] = zeta_i
+
+        I_w = _spatial_inertia_T(model, i, Rs[i], ps[i])  # [6, 6, B]
+
+        # masked Jacobian of body i: J6 [6, nv, B]
+        J6 = bl.transpose(cols) * masks[i][None, :, None]
+        IJ = bl.matmul(I_w, J6)                       # [6, nv, B]
+        M = M + bl.matmul(bl.transpose(J6), IJ)       # [nv, nv, B]
+
+        Iv = bl.matvec(I_w, v_i)
+        crf = -bl.transpose(_crm_T(v_i))
+        f_bias = bl.matvec(I_w, zeta_i) + bl.matvec(crf, Iv)
+        C = C + (bl.transpose(J6) * f_bias[None, :, :]).sum(1)
+
+    M = M + np.diag(model.dof_armature).astype(np.float32)[:, :, None]
+    return M, C, Rs, ps, v_list, cols
+
+
+def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contact_dampratio):
+    """Generalized contact torques [nv, B] from penalty plane contacts."""
+    B = ps[0].shape[-1]
+    tau = jnp.zeros((model.nv, B))
     if len(model.con_body) == 0:
-        return F
+        return tau
     omega_c = 1.0 / contact_timeconst
     for c in range(len(model.con_body)):
         b = int(model.con_body[c])
         m_eff = float(model.con_meff[c])
         stiffness = m_eff * omega_c**2
         damping = 2.0 * contact_dampratio * m_eff * omega_c
-        x = p[:, b] + jnp.einsum("bij,j->bi", R[:, b], jnp.asarray(model.con_pos[c]))
-        depth = jnp.asarray(model.con_radius[c]) - x[:, 2]
+        x = ps[b] + bl.matvec_const(Rs[b], np.asarray(model.con_pos[c]))  # [3, B]
+        depth = float(model.con_radius[c]) - x[2]
         in_contact = depth > 0.0
-        # point velocity from the body's origin-referenced spatial velocity
-        omega, v_o = v_bodies[:, b, :3], v_bodies[:, b, 3:]
-        v_pt = v_o + jnp.cross(omega, x)
-        fn = jnp.where(
-            in_contact,
-            stiffness * depth - damping * v_pt[:, 2],
-            0.0,
-        )
+        omega, v_o = v_list[b][:3], v_list[b][3:]
+        v_pt = v_o + bl.cross(omega, x)
+        fn = jnp.where(in_contact, stiffness * depth - damping * v_pt[2], 0.0)
         fn = jnp.maximum(fn, 0.0)
-        vt = v_pt[:, :2]
-        vt_norm = jnp.linalg.norm(vt, axis=-1, keepdims=True)
-        mu = jnp.asarray(model.con_friction[c])
-        ft = -mu * fn[:, None] * vt / (vt_norm + 1e-3)
-        f = jnp.concatenate([ft, fn[:, None]], axis=-1)
-        F = F.at[:, b].add(sp.point_force_to_spatial(x, f))
-    return F
+        vt_norm = jnp.sqrt(v_pt[0] ** 2 + v_pt[1] ** 2)
+        mu = float(model.con_friction[c])
+        scale = -mu * fn / (vt_norm + 1e-3)
+        f = jnp.stack([scale * v_pt[0], scale * v_pt[1], fn])  # [3, B]
+        F = jnp.concatenate([bl.cross(x, f), f])               # [6, B]
+        Jb = bl.transpose(cols) * masks[b][None, :, None]          # [6, nv, B]
+        tau = tau + (bl.transpose(Jb) * F[None, :, :]).sum(1)
+    return tau
 
 
 def forward_dynamics(model: PhysicsModel, qpos, qvel, ctrl,
                      contact_timeconst=0.015, contact_dampratio=1.0,
                      limit_stiffness=200.0, include_contacts=True):
-    """Batched qacc [B, nv] (+ body kinematics as aux)."""
-    masks = jnp.asarray(_ancestor_masks(model))  # [nbody, nv]
-    R, p = kinematics(model, qpos)
-    cols = _jacobian_columns(model, R, p)        # [B, nv, 6]
-    I_w = _body_inertias_world(model, R, p)      # [B, nbody, 6, 6]
-
-    # Mass matrix
-    Jb = cols[:, None] * masks[None, :, :, None]           # [B, nbody, nv, 6]
-    M = jnp.einsum("bnvi,bnij,bnwj->bvw", Jb, I_w, Jb)
-    M = M + jnp.diag(jnp.asarray(model.dof_armature))[None]
-
-    # Body spatial velocities + bias accelerations (gravity as base accel)
-    g = jnp.asarray(model.gravity)
-    zeta0 = jnp.concatenate([jnp.zeros((qpos.shape[0], 3)), -jnp.broadcast_to(g, (qpos.shape[0], 3))], axis=-1)
-    v_list, zeta_list = [], []
-    for i in range(model.nbody):
-        par = int(model.parent[i])
-        v_par = v_list[par] if par != -1 else jnp.zeros_like(zeta0)
-        z_par = zeta_list[par] if par != -1 else zeta0
-        jt = int(model.jnt_type[i])
-        if jt == FREE:
-            d = int(model.dof_adr[i])
-            own = jnp.einsum("bdk,bd->bk", cols[:, d: d + 6], qvel[:, d: d + 6])
-            # Only the child-fixed angular columns have nonzero derivative
-            # (the linear columns [0; e_k] are world-constant), so the
-            # velocity-product term uses the angular contribution alone.
-            own_moving = jnp.einsum(
-                "bdk,bd->bk", cols[:, d + 3: d + 6], qvel[:, d + 3: d + 6]
-            )
-        elif jt == HINGE:
-            d = int(model.dof_adr[i])
-            own = cols[:, d] * qvel[:, d][:, None]
-            own_moving = own
-        else:
-            own = jnp.zeros_like(zeta0)
-            own_moving = own
-        v_i = v_par + own
-        zeta_i = z_par + jnp.einsum("bij,bj->bi", sp.crm(v_i), own_moving)
-        v_list.append(v_i)
-        zeta_list.append(zeta_i)
-    v_bodies = jnp.stack(v_list, axis=1)     # [B, nbody, 6]
-    zetas = jnp.stack(zeta_list, axis=1)
-
-    f_bias = (
-        jnp.einsum("bnij,bnj->bni", I_w, zetas)
-        + jnp.einsum("bnij,bnj->bni", sp.crf(v_bodies), jnp.einsum("bnij,bnj->bni", I_w, v_bodies))
+    """Batched qacc [B, nv].  Public API is batch-first; internals batch-last."""
+    qaccT = _forward_dynamics_T(
+        model, qpos.T, qvel.T, ctrl.T,
+        contact_timeconst, contact_dampratio, limit_stiffness, include_contacts,
     )
-    C = jnp.einsum("bnvi,bni->bv", Jb, f_bias)
+    return qaccT.T, None
 
-    # Generalized external contact forces
-    tau_ext = jnp.zeros_like(C)
+
+def _forward_dynamics_T(model, qposT, qvelT, ctrlT,
+                        contact_timeconst, contact_dampratio, limit_stiffness,
+                        include_contacts):
+    M, C, Rs, ps, v_list, cols = _dynamics_T(model, qposT, qvelT)
+    masks = _ancestor_masks(model)
+
+    tau = jnp.zeros_like(C)
     if include_contacts and len(model.con_body) > 0:
-        F_contact = _contact_forces(model, R, p, v_bodies, contact_timeconst, contact_dampratio)
-        tau_ext = jnp.einsum("bnvi,bni->bv", Jb, F_contact)
+        tau = tau + _contact_tau_T(
+            model, Rs, ps, v_list, cols, masks, contact_timeconst, contact_dampratio
+        )
 
-    # Actuation
-    tau_act = jnp.zeros_like(C)
+    # actuators
     for a in range(len(model.act_dof)):
         d = int(model.act_dof[a])
         body = int(model.act_joint_body[a])
         qa = int(model.qpos_adr[body])
-        gear = jnp.asarray(model.act_gear[a])
+        gear = float(model.act_gear[a])
         if bool(model.act_is_position[a]):
-            force = model.act_kp[a] * (ctrl[:, a] - qpos[:, qa]) - model.act_kv[a] * qvel[:, d]
+            force = float(model.act_kp[a]) * (ctrlT[a] - qposT[qa]) - float(model.act_kv[a]) * qvelT[d]
         else:
-            force = ctrl[:, a] * gear
+            force = ctrlT[a] * gear
         lo, hi = model.act_forcerange[a]
-        force = jnp.clip(force, lo, hi)
-        tau_act = tau_act.at[:, d].add(force * (gear if bool(model.act_is_position[a]) else 1.0))
+        force = jnp.clip(force, float(lo), float(hi))
+        tau = tau.at[d].add(force * (gear if bool(model.act_is_position[a]) else 1.0))
 
-    # Passive: damping, smooth dry friction, joint limits
-    tau_passive = (
-        -jnp.asarray(model.dof_damping)[None] * qvel
-        - jnp.asarray(model.dof_frictionloss)[None] * jnp.tanh(qvel / 0.05)
-    )
+    # passive: damping, smooth dry friction, joint limits
+    tau = tau - np.asarray(model.dof_damping)[:, None] * qvelT
+    tau = tau - np.asarray(model.dof_frictionloss)[:, None] * jnp.tanh(qvelT / 0.05)
     for i in range(model.nbody):
         if int(model.jnt_type[i]) == HINGE and bool(model.jnt_limited[i]):
             qa, d = int(model.qpos_adr[i]), int(model.dof_adr[i])
             lo, hi = model.jnt_range[i]
-            over_hi = jnp.maximum(qpos[:, qa] - hi, 0.0)
-            under_lo = jnp.maximum(lo - qpos[:, qa], 0.0)
-            tau_passive = tau_passive.at[:, d].add(limit_stiffness * (under_lo - over_hi))
+            over_hi = jnp.maximum(qposT[qa] - float(hi), 0.0)
+            under_lo = jnp.maximum(float(lo) - qposT[qa], 0.0)
+            tau = tau.at[d].add(limit_stiffness * (under_lo - over_hi))
 
-    tau = tau_act + tau_passive + tau_ext
-
-    # qacc = M^{-1} (tau - C), batched Cholesky
-    chol = jax.scipy.linalg.cho_factor(M)
-    qacc = jax.scipy.linalg.cho_solve(chol, (tau - C)[..., None])[..., 0]
-    return qacc, (R, p, v_bodies)
+    return bl.cholesky_solve(M, tau - C)
 
 
-def _integrate(model: PhysicsModel, qpos, qvel, qacc, dt):
-    """Semi-implicit Euler with quaternion integration for the free joint."""
-    qvel_new = qvel + dt * qacc
-    qpos_new = qpos
+def _integrate_T(model, qposT, qvelT, qaccT, dt):
+    """Semi-implicit Euler in batch-last layout."""
+    qvel_new = qvelT + dt * qaccT
+    qpos_new = qposT
     for i in range(model.nbody):
         jt = int(model.jnt_type[i])
         qa, d = int(model.qpos_adr[i]), int(model.dof_adr[i])
         if jt == FREE:
-            qpos_new = qpos_new.at[:, qa: qa + 3].add(dt * qvel_new[:, d: d + 3])
-            quat = sp.quat_integrate(qpos[:, qa + 3: qa + 7], qvel_new[:, d + 3: d + 6], dt)
-            qpos_new = qpos_new.at[:, qa + 3: qa + 7].set(quat)
+            qpos_new = qpos_new.at[qa: qa + 3].add(dt * qvel_new[d: d + 3])
+            quat = bl.quat_integrate(qposT[qa + 3: qa + 7], qvel_new[d + 3: d + 6], dt)
+            qpos_new = qpos_new.at[qa + 3: qa + 7].set(quat)
         elif jt == HINGE:
-            qpos_new = qpos_new.at[:, qa].add(dt * qvel_new[:, d])
+            qpos_new = qpos_new.at[qa].add(dt * qvel_new[d])
     return qpos_new, qvel_new
 
 
@@ -277,16 +320,23 @@ def step(model: PhysicsModel, qpos, qvel, ctrl, nr_substeps=1,
          contact_timeconst=0.015, contact_dampratio=1.0, limit_stiffness=200.0):
     """Advance ``nr_substeps`` timesteps of ``model.timestep`` each."""
     dt = model.timestep
+    ctrlT = ctrl.T
 
     def substep(carry, _):
-        qpos, qvel = carry
-        qacc, _ = forward_dynamics(
-            model, qpos, qvel, ctrl,
-            contact_timeconst=contact_timeconst,
-            contact_dampratio=contact_dampratio,
-            limit_stiffness=limit_stiffness,
+        qposT, qvelT = carry
+        qaccT = _forward_dynamics_T(
+            model, qposT, qvelT, ctrlT,
+            contact_timeconst, contact_dampratio, limit_stiffness, True,
         )
-        return _integrate(model, qpos, qvel, qacc, dt), None
+        return _integrate_T(model, qposT, qvelT, qaccT, dt), None
 
-    (qpos, qvel), _ = jax.lax.scan(substep, (qpos, qvel), None, nr_substeps)
-    return qpos, qvel
+    (qposT, qvelT), _ = jax.lax.scan(substep, (qpos.T, qvel.T), None, nr_substeps)
+    return qposT.T, qvelT.T
+
+
+def kinematics(model: PhysicsModel, qpos):
+    """Batched FK -> (R [B, nbody, 3, 3], p [B, nbody, 3]) (diagnostics API)."""
+    Rs, ps = _kinematics_T(model, qpos.T)
+    R = jnp.stack([jnp.transpose(r, (2, 0, 1)) for r in Rs], axis=1)
+    p = jnp.stack([r.T for r in ps], axis=1)
+    return R, p

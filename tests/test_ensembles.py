@@ -1,0 +1,71 @@
+"""REDQ/DroQ/AQE high-UTD ensemble variants: fused programs run, params
+update, stay finite."""
+
+import jax
+import numpy as np
+import pytest
+
+from rlx_tpu.config import create_model, make_config
+
+
+@pytest.mark.parametrize("algorithm", ["redq.tpu", "droq.tpu", "aqe.tpu"])
+def test_ensemble_sac_trains(algorithm):
+    config = make_config(
+        algorithm,
+        "classic.pendulum.tpu",
+        **{
+            "algorithm.total_timesteps": 320,
+            "algorithm.learning_starts": 128,
+            "algorithm.buffer_size": 2048,
+            "algorithm.batch_size": 32,
+            "algorithm.q_update_steps": 3,
+            "algorithm.logging_frequency": 64,
+            "algorithm.policy_hidden_sizes": (32, 32),
+            "algorithm.critic_hidden_sizes": (32, 32),
+            "environment.nr_envs": 8,
+            "runner.mesh_dp": -1,
+        },
+    )
+    model = create_model(config)
+    nr_critics = config.algorithm.nr_critics
+    # ensemble axis present on critic kernels
+    some_kernel = jax.tree.leaves(model.states["critic"].params)[0]
+    assert np.asarray(some_kernel).shape[0] == nr_critics
+
+    initial = jax.tree.map(np.asarray, model.states["policy"].params)
+    model.train()
+    changed = jax.tree.map(
+        lambda a, b: not np.allclose(np.asarray(a), np.asarray(b)),
+        initial, model.states["policy"].params,
+    )
+    assert any(jax.tree.leaves(changed)), algorithm
+    for leaf in jax.tree.leaves(model.states):
+        assert np.isfinite(np.asarray(leaf)).all()
+    returns = model.test(1)
+    assert np.isfinite(returns[0])
+
+
+def test_tqc_trains():
+    config = make_config(
+        "tqc.tpu",
+        "classic.pendulum.tpu",
+        **{
+            "algorithm.total_timesteps": 320,
+            "algorithm.learning_starts": 128,
+            "algorithm.buffer_size": 2048,
+            "algorithm.batch_size": 32,
+            "algorithm.logging_frequency": 64,
+            "algorithm.nr_atoms_per_net": 5,
+            "algorithm.nr_dropped_atoms_per_net": 1,
+            "algorithm.policy_hidden_sizes": (32, 32),
+            "algorithm.critic_hidden_sizes": (32, 32),
+            "environment.nr_envs": 8,
+            "runner.mesh_dp": -1,
+        },
+    )
+    model = create_model(config)
+    model.train()
+    for leaf in jax.tree.leaves(model.states):
+        assert np.isfinite(np.asarray(leaf)).all()
+    returns = model.test(1)
+    assert np.isfinite(returns[0])
