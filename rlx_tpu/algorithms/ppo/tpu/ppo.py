@@ -190,7 +190,31 @@ class PPO:
         batch_log_probs = log_probs.reshape(-1)
         batch_observations = mesh_lib.shard_batch(batch_observations, self.mesh)
 
-        def loss_fn(policy_params, critic_params, obs_mb, action_mb, log_prob_mb, return_mb, advantage_mb):
+        key, opt_key = jax.random.split(key)
+        policy_state, critic_state, optimization_metrics = self._optimize(
+            policy_state, critic_state,
+            (batch_observations, batch_actions, batch_log_probs, batch_returns, batch_advantages),
+            opt_key,
+        )
+        optimization_metrics["v_value/explained_variance"] = 1.0 - jnp.var(returns - values) / (
+            jnp.var(returns) + 1e-8
+        )
+        if self.continuous:
+            optimization_metrics["policy/std_dev"] = jnp.mean(
+                jnp.exp(policy_state.params["params"]["policy_logstd"])
+            )
+
+        # --- logging escape ------------------------------------------------
+        if self.config.algorithm.logging_active:
+            combined_metrics = {**jax.tree.map(jnp.mean, infos), **optimization_metrics}
+            combined_step = outer_step * self.nr_updates_per_eval_save_iteration + learning_iteration_step + 1
+            jax.debug.callback(
+                self._log_train_callback, combined_metrics, combined_step, learning_iteration_step
+            )
+
+        return (policy_state, critic_state, env_state, key), None
+
+    def _loss_fn(self, policy_params, critic_params, obs_mb, action_mb, log_prob_mb, return_mb, advantage_mb):
             new_log_prob, entropy = self.policy.log_prob_entropy(policy_params, obs_mb, action_mb)
             logratio = new_log_prob - log_prob_mb
             ratio = jnp.exp(logratio)
@@ -216,7 +240,11 @@ class PPO:
             }
             return loss, metrics
 
-        grad_loss_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+    def _optimize(self, policy_state, critic_state, batch_arrays, key):
+        """Minibatch-epochs PPO-Clip optimization (overridable: ESPO swaps in
+        early-stopped whole-batch epochs)."""
+        batch_observations, batch_actions, batch_log_probs, batch_returns, batch_advantages = batch_arrays
+        grad_loss_fn = jax.value_and_grad(self._loss_fn, argnums=(0, 1), has_aux=True)
 
         # Per-epoch independent permutations, exactly as the reference
         # (`ppo/flax_full_jit/ppo.py:229-231`) for curve parity.
@@ -250,23 +278,7 @@ class PPO:
         )
         optimization_metrics = jax.tree.map(jnp.mean, optimization_metrics)
         optimization_metrics["lr/learning_rate"] = policy_state.opt_state[1].hyperparams["learning_rate"]
-        optimization_metrics["v_value/explained_variance"] = 1.0 - jnp.var(returns - values) / (
-            jnp.var(returns) + 1e-8
-        )
-        if self.continuous:
-            optimization_metrics["policy/std_dev"] = jnp.mean(
-                jnp.exp(policy_state.params["params"]["policy_logstd"])
-            )
-
-        # --- logging escape ------------------------------------------------
-        if self.config.algorithm.logging_active:
-            combined_metrics = {**jax.tree.map(jnp.mean, infos), **optimization_metrics}
-            combined_step = outer_step * self.nr_updates_per_eval_save_iteration + learning_iteration_step + 1
-            jax.debug.callback(
-                self._log_train_callback, combined_metrics, combined_step, learning_iteration_step
-            )
-
-        return (policy_state, critic_state, env_state, key), None
+        return policy_state, critic_state, optimization_metrics
 
     def _eval_iteration(self, policy_state, key, outer_step):
         def single_eval_step(carry, _):

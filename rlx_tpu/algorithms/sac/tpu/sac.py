@@ -38,11 +38,9 @@ class SAC(OffPolicyAlgorithm):
             dropout_rate=getattr(a, "dropout_rate", 0.0),
         )
 
-    def setup_states(self):
-        a = self.config.algorithm
-        self.key, policy_key, critic_key, alpha_key = jax.random.split(self.key, 4)
-
-        self.policy = SquashedGaussianPolicy(
+    def _build_policy(self, a):
+        """Overridable: SimBa/BRO/SimbaV2 swap in residual/hypersphere trunks."""
+        return SquashedGaussianPolicy(
             action_dim=self.action_dim,
             hidden_sizes=tuple(a.policy_hidden_sizes),
             activation=a.activation,
@@ -51,6 +49,12 @@ class SAC(OffPolicyAlgorithm):
             log_std_max=a.log_std_max,
             observation_indices=getattr(self.train_env, "policy_observation_indices", None),
         )
+
+    def setup_states(self):
+        a = self.config.algorithm
+        self.key, policy_key, critic_key, alpha_key = jax.random.split(self.key, 4)
+
+        self.policy = self._build_policy(a)
         self.critic = self._build_critic(a)
         self.entropy_coefficient = EntropyCoefficient(1.0)
 

@@ -69,3 +69,32 @@ def test_tqc_trains():
         assert np.isfinite(np.asarray(leaf)).all()
     returns = model.test(1)
     assert np.isfinite(returns[0])
+
+
+def test_crossq_trains():
+    config = make_config(
+        "crossq.tpu",
+        "classic.pendulum.tpu",
+        **{
+            "algorithm.total_timesteps": 320,
+            "algorithm.learning_starts": 128,
+            "algorithm.buffer_size": 2048,
+            "algorithm.batch_size": 32,
+            "algorithm.logging_frequency": 64,
+            "algorithm.policy_hidden_sizes": (32, 32),
+            "algorithm.critic_hidden_sizes": (32, 32),
+            "environment.nr_envs": 8,
+            "runner.mesh_dp": -1,
+        },
+    )
+    model = create_model(config)
+    model.train()
+    for leaf in jax.tree.leaves(model.states):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # batch stats actually moved
+    stats = model.states["critic"].batch_stats
+    means = [np.asarray(v) for k, v in jax.tree_util.tree_flatten_with_path(stats)[0]
+             if "mean" in jax.tree_util.keystr(k)]
+    assert any(np.abs(m).max() > 0 for m in means)
+    returns = model.test(1)
+    assert np.isfinite(returns[0])
