@@ -85,6 +85,7 @@ class OffPolicyAlgorithm:
         )
         self.dp_size = self.mesh.shape[mesh_lib.DP_AXIS]
         self.shard_local_sampling = getattr(a, "shard_local_sampling", True)
+        self.n_step = int(getattr(a, "n_step", 1))
 
         self.logger = MetricsLogger(
             config.runner.track_console, config.runner.track_tb, config.runner.track_wandb, writer
@@ -121,6 +122,10 @@ class OffPolicyAlgorithm:
     def extra_buffer_fields(self):
         """Override to store extra per-transition fields."""
         return {}
+
+    def observe_transition(self, states, observation):
+        """Hook after each env step (FastTD3-family running normalizers)."""
+        return states
 
     # --- scaffolding -------------------------------------------------------
     def _make_buffer(self):
@@ -167,16 +172,23 @@ class OffPolicyAlgorithm:
         action = self.act(states, observation, action_key, step)
         env_state = self.train_env.step(env_state, self.process_action(action))
         buffer = self._store_step(buffer, observation, action, env_state)
+        states = self.observe_transition(states, observation)
 
         if hasattr(self, "update_with_buffer"):
             # High-UTD algorithms (REDQ/DroQ/AQE) draw several fresh batches
             # per env step and own their sampling.
             states, metrics = self.update_with_buffer(states, buffer, update_key, step)
         else:
-            batch = rb.sample(
-                buffer, sample_key, self.batch_size,
-                shard_local=self.shard_local_sampling, dp_size=self.dp_size,
-            )
+            if self.n_step > 1:
+                batch = rb.sample_nstep(
+                    buffer, sample_key, self.batch_size, self.n_step, self.gamma,
+                    shard_local=self.shard_local_sampling, dp_size=self.dp_size,
+                )
+            else:
+                batch = rb.sample(
+                    buffer, sample_key, self.batch_size,
+                    shard_local=self.shard_local_sampling, dp_size=self.dp_size,
+                )
             batch = mesh_lib.shard_batch(batch, self.mesh)
             states, metrics = self.update(states, batch, update_key, step)
         return (states, buffer, env_state, key), (env_state.info, metrics)
@@ -309,18 +321,24 @@ class OffPolicyAlgorithm:
     def checkpoint_tree(self, states):
         tree = {}
         for name, state in states.items():
-            tree[name] = state.params
-            if getattr(state, "target_params", None) is not None:
-                tree[f"{name}_target"] = state.target_params
+            if hasattr(state, "params"):
+                tree[name] = state.params
+                if getattr(state, "target_params", None) is not None:
+                    tree[f"{name}_target"] = state.target_params
+            else:  # plain pytree state (normalizers etc.)
+                tree[name] = state
         return tree
 
     def restore_from_tree(self, restored):
         states = dict(self.states)
         for name, state in states.items():
-            state = state.replace(params=restored[name])
-            if f"{name}_target" in restored:
-                state = state.replace(target_params=restored[f"{name}_target"])
-            states[name] = state
+            if hasattr(state, "params"):
+                state = state.replace(params=restored[name])
+                if f"{name}_target" in restored:
+                    state = state.replace(target_params=restored[f"{name}_target"])
+                states[name] = state
+            else:
+                states[name] = restored[name]
         self.states = states
 
     def save(self):

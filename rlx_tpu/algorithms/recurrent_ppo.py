@@ -27,7 +27,7 @@ from flax.training.train_state import TrainState
 
 from rlx_tpu.models import distributions as D
 from rlx_tpu.models.mlp import VCritic, get_processed_action_function
-from rlx_tpu.models.recurrent import RecurrentPolicy
+from rlx_tpu.models.recurrent import RecurrentPolicy, mask_carry
 from rlx_tpu.ops.gae import gae_advantages
 from rlx_tpu.parallel import mesh as mesh_lib
 from rlx_tpu.utils import checkpoint as ckpt
@@ -97,6 +97,11 @@ class RecurrentPPO:
             combine_method=a.rnn_obs_combine_method,
             share_encoder=a.share_rnn_obs_encoder,
             observation_indices=getattr(train_env, "policy_observation_indices", None),
+            cell_state_dim=getattr(a, "cell_state_dim", 16),
+            cell_conv_kernel=getattr(a, "cell_conv_kernel", 4),
+            cell_context_len=getattr(a, "tf_context_len", 16),
+            cell_nr_heads=getattr(a, "tf_nr_heads", 4),
+            cell_nr_blocks=getattr(a, "tf_nr_blocks", 2),
         )
         self.critic = VCritic(
             hidden_sizes=tuple(a.critic_hidden_sizes),
@@ -157,7 +162,7 @@ class RecurrentPPO:
             value = self.critic.apply(critic_state.params, observation).squeeze(-1)
             env_state = self.train_env.step(env_state, self.process_action(action))
             done = env_state.terminated | env_state.truncated
-            next_carry = jax.tree.map(lambda c: c * (1.0 - done.astype(c.dtype))[:, None], next_carry)
+            next_carry = mask_carry(next_carry, done)
             transition = (
                 observation, env_state.final_observation, action, env_state.reward,
                 value, env_state.terminated, done, log_prob, env_state.info,
@@ -263,7 +268,7 @@ class RecurrentPPO:
             )
             eval_env_state = self.eval_env.step(eval_env_state, self.process_action(mean))
             done = eval_env_state.terminated | eval_env_state.truncated
-            next_carry = jax.tree.map(lambda c: c * (1.0 - done.astype(c.dtype))[:, None], next_carry)
+            next_carry = mask_carry(next_carry, done)
             return (policy_state, eval_env_state, next_carry), None
 
         eval_env_state = self.eval_env.reset(key, eval_mode=True)
@@ -366,7 +371,7 @@ class RecurrentPPO:
             )
             env_state = self.eval_env.step(env_state, self.process_action(mean))
             done = env_state.terminated | env_state.truncated
-            next_carry = jax.tree.map(lambda c: c * (1.0 - done.astype(c.dtype))[:, None], next_carry)
+            next_carry = mask_carry(next_carry, done)
             return env_state, next_carry
 
         self.key, reset_key = jax.random.split(self.key)

@@ -163,7 +163,7 @@ class SAC(OffPolicyAlgorithm):
         metrics["gradients/policy_grad_norm"] = optax.global_norm(policy_grads)
         metrics["gradients/critic_grad_norm"] = optax.global_norm(critic_grads)
         metrics["gradients/entropy_grad_norm"] = optax.global_norm(alpha_grads)
-        return {"policy": policy_state, "critic": critic_state, "alpha": alpha_state}, metrics
+        return {**states, "policy": policy_state, "critic": critic_state, "alpha": alpha_state}, metrics
 
     def general_properties():
         return GeneralProperties

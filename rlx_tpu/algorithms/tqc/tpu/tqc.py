@@ -114,7 +114,7 @@ class TQC(SAC):
             "gradients/policy_grad_norm": optax.global_norm(policy_grads),
             "gradients/critic_grad_norm": optax.global_norm(critic_grads),
         }
-        return {"policy": policy_state, "critic": critic_state, "alpha": alpha_state}, metrics
+        return {**states, "policy": policy_state, "critic": critic_state, "alpha": alpha_state}, metrics
 
     def general_properties():
         return GeneralProperties

@@ -20,15 +20,182 @@ import flax.linen as nn
 from flax.linen.initializers import constant, orthogonal
 
 
+def mask_carry(carry, done):
+    """Zero a recurrent carry per env where ``done`` (any leaf rank)."""
+    done = done.astype(jnp.float32)
+
+    def mask(c):
+        keep = (1.0 - done).reshape((-1,) + (1,) * (c.ndim - 1))
+        return c * keep
+
+    return jax.tree.map(mask, carry)
+
+
+class Mamba2Cell(nn.Module):
+    """Mamba-2-style constant-memory sequence cell.
+
+    Structure parity with `rl_x/algorithms/ppo_mamba2/flax_full_jit/policy.py:84-121`:
+    gated in-projection -> depthwise causal conv one-step (conv state carry)
+    -> SiLU -> selective diagonal SSM recurrence (per-channel dA = exp(dt*A),
+    dB u input, C readout, D skip) -> SiLU gate -> out-projection, pre-LN
+    residual.  Carry = {"conv": [B, K-1, D_inner], "ssm": [B, D_inner, N]}.
+    """
+
+    features: int          # d_model output dim
+    state_dim: int = 16
+    expand: int = 2
+    conv_kernel: int = 4
+    dt_min: float = 1e-3
+    dt_max: float = 0.1
+
+    @property
+    def inner_dim(self):
+        return self.features * self.expand
+
+    def initialize_carry(self, nr_envs):
+        return {
+            "conv": jnp.zeros((nr_envs, self.conv_kernel - 1, self.inner_dim)),
+            "ssm": jnp.zeros((nr_envs, self.inner_dim, self.state_dim)),
+        }
+
+    @nn.compact
+    def __call__(self, carry, x):
+        inner = self.inner_dim
+        residual = x
+        x = nn.LayerNorm()(x)
+        u, z = jnp.split(nn.Dense(2 * inner)(x), 2, axis=-1)
+
+        # depthwise causal conv, one token
+        conv_kernel = self.param(
+            "conv_kernel", nn.initializers.normal(0.02), (self.conv_kernel, inner)
+        )
+        conv_bias = self.param("conv_bias", constant(0.0), (inner,))
+        conv_in = jnp.concatenate([carry["conv"], u[:, None, :]], axis=1)  # [B, K, D]
+        next_conv = conv_in[:, 1:, :]
+        u = (conv_in * conv_kernel[None]).sum(axis=1) + conv_bias[None]
+        u = nn.silu(u)
+
+        # selective diagonal SSM
+        params = nn.Dense(inner + 2 * self.state_dim)(u)
+        dt_raw = params[..., :inner]
+        b_t = params[..., inner: inner + self.state_dim]
+        c_t = params[..., inner + self.state_dim:]
+
+        def dt_bias_init(key, shape):
+            dt = jnp.exp(jax.random.uniform(
+                key, shape, minval=np.log(self.dt_min), maxval=np.log(self.dt_max)
+            ))
+            return dt + jnp.log(-jnp.expm1(-dt))
+
+        dt_bias = self.param("dt_bias", dt_bias_init, (inner,))
+        A_log = self.param(
+            "A_log",
+            lambda key, shape: jnp.tile(
+                jnp.log(jnp.arange(1, self.state_dim + 1, dtype=jnp.float32))[None], (inner, 1)
+            ),
+            (inner, self.state_dim),
+        )
+        D_skip = self.param("D", constant(1.0), (inner,))
+
+        dt = nn.softplus(dt_raw + dt_bias[None])
+        dA = jnp.exp(dt[..., None] * (-jnp.exp(A_log))[None])     # [B, D, N]
+        next_ssm = dA * carry["ssm"] + dt[..., None] * b_t[:, None, :] * u[..., None]
+        y = (next_ssm * c_t[:, None, :]).sum(-1) + D_skip[None] * u
+
+        y = y * nn.silu(z)
+        out = residual + nn.Dense(self.features)(y)
+        return {"conv": next_conv, "ssm": next_ssm}, out
+
+
+class TransformerCell(nn.Module):
+    """Sliding-window causal self-attention as a streaming cell (KV cache).
+
+    Capability parity with `rl_x/algorithms/ppo_transformer/flax_full_jit/policy.py`
+    (context of the last ``context_len`` tokens, padding mask for short
+    histories, episode-segment isolation).  TPU-first design difference: the
+    reference act-time keeps a rolling token history and train-time rebuilds
+    a banded causal + segment attention mask (`policy.py:300-345`); here BOTH
+    paths run the SAME streaming one-step over a per-block KV cache (the
+    training re-run is the time scan that already exists in RecurrentPPO),
+    which guarantees act/train consistency by construction.  A learned
+    relative-age bias replaces sinusoidal PE (streaming-friendly).
+
+    Carry per block: {"k": [B, L-1, H], "v": [B, L-1, H], "valid": [B, L-1]}.
+    """
+
+    features: int
+    context_len: int = 16
+    nr_heads: int = 4
+    nr_blocks: int = 2
+    mlp_expand: int = 4
+
+    def initialize_carry(self, nr_envs):
+        L = self.context_len - 1
+        return {
+            f"block{b}": {
+                "k": jnp.zeros((nr_envs, L, self.features)),
+                "v": jnp.zeros((nr_envs, L, self.features)),
+                "valid": jnp.zeros((nr_envs, L)),
+            }
+            for b in range(self.nr_blocks)
+        }
+
+    @nn.compact
+    def __call__(self, carry, x):
+        head_dim = self.features // self.nr_heads
+        new_carry = {}
+        for b in range(self.nr_blocks):
+            cache = carry[f"block{b}"]
+            residual = x
+            h = nn.LayerNorm()(x)
+            q = nn.Dense(self.features)(h)
+            k = nn.Dense(self.features)(h)
+            v = nn.Dense(self.features)(h)
+
+            keys = jnp.concatenate([cache["k"], k[:, None]], axis=1)      # [B, L, F]
+            values = jnp.concatenate([cache["v"], v[:, None]], axis=1)
+            valid = jnp.concatenate([cache["valid"], jnp.ones_like(cache["valid"][:, :1])], axis=1)
+
+            B, L, _ = keys.shape
+            qh = q.reshape(B, self.nr_heads, head_dim)
+            kh = keys.reshape(B, L, self.nr_heads, head_dim)
+            vh = values.reshape(B, L, self.nr_heads, head_dim)
+
+            logits = jnp.einsum("bhd,blhd->bhl", qh, kh) / np.sqrt(head_dim)
+            age_bias = self.param(f"age_bias_{b}", constant(0.0), (self.nr_heads, L))
+            logits = logits + age_bias[None]
+            logits = jnp.where(valid[:, None, :] > 0.5, logits, -1e9)
+            attn = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("bhl,blhd->bhd", attn, vh).reshape(B, self.features)
+            x = residual + nn.Dense(self.features)(out)
+
+            mlp_in = nn.LayerNorm()(x)
+            mlp = nn.Dense(self.features * self.mlp_expand)(mlp_in)
+            mlp = nn.gelu(mlp)
+            x = x + nn.Dense(self.features)(mlp)
+
+            new_carry[f"block{b}"] = {
+                "k": keys[:, 1:], "v": values[:, 1:], "valid": valid[:, 1:],
+            }
+        return new_carry, x
+
+
 class RecurrentPolicy(nn.Module):
     action_dim: int
-    cell_type: str = "lstm"  # "lstm" | "gru"
+    cell_type: str = "lstm"  # "lstm" | "gru" | "mamba2" | "transformer"
     std_dev: float = 1.0
     obs_encoding_dim: int = 128
     hidden_dim: int = 64
     combine_method: str = "concat"  # "concat" | "film"
     share_encoder: bool = False
     observation_indices: Sequence[int] = None
+    # mamba2 cell
+    cell_state_dim: int = 16
+    cell_conv_kernel: int = 4
+    # transformer cell
+    cell_context_len: int = 16
+    cell_nr_heads: int = 4
+    cell_nr_blocks: int = 2
 
     def setup(self):
         ortho = lambda g: orthogonal(g)
@@ -46,6 +213,19 @@ class RecurrentPolicy(nn.Module):
             self.cell = nn.OptimizedLSTMCell(features=self.hidden_dim)
         elif self.cell_type == "gru":
             self.cell = nn.GRUCell(features=self.hidden_dim)
+        elif self.cell_type == "mamba2":
+            self.cell = Mamba2Cell(
+                features=self.obs_encoding_dim,
+                state_dim=self.cell_state_dim,
+                conv_kernel=self.cell_conv_kernel,
+            )
+        elif self.cell_type == "transformer":
+            self.cell = TransformerCell(
+                features=self.obs_encoding_dim,
+                context_len=self.cell_context_len,
+                nr_heads=self.cell_nr_heads,
+                nr_blocks=self.cell_nr_blocks,
+            )
         else:
             raise ValueError(self.cell_type)
         self.cell_ln = nn.LayerNorm()
@@ -62,10 +242,26 @@ class RecurrentPolicy(nn.Module):
         self.logstd = self.param("policy_logstd", constant(float(np.log(self.std_dev))), (1, self.action_dim))
 
     def initialize_carry(self, nr_envs):
-        zeros = jnp.zeros((nr_envs, self.hidden_dim), dtype=jnp.float32)
         if self.cell_type == "lstm":
+            zeros = jnp.zeros((nr_envs, self.hidden_dim), dtype=jnp.float32)
             return (zeros, zeros)
-        return zeros
+        if self.cell_type == "gru":
+            return jnp.zeros((nr_envs, self.hidden_dim), dtype=jnp.float32)
+        if self.cell_type == "mamba2":
+            inner = self.obs_encoding_dim * 2  # Mamba2Cell expand=2
+            return {
+                "conv": jnp.zeros((nr_envs, self.cell_conv_kernel - 1, inner)),
+                "ssm": jnp.zeros((nr_envs, inner, self.cell_state_dim)),
+            }
+        L = self.cell_context_len - 1
+        return {
+            f"block{b}": {
+                "k": jnp.zeros((nr_envs, L, self.obs_encoding_dim)),
+                "v": jnp.zeros((nr_envs, L, self.obs_encoding_dim)),
+                "valid": jnp.zeros((nr_envs, L)),
+            }
+            for b in range(self.cell_nr_blocks)
+        }
 
     def _encode_cell_input(self, obs):
         if self.observation_indices is not None:
@@ -110,7 +306,7 @@ class RecurrentPolicy(nn.Module):
 
         def step(carry, inp):
             obs_t, done_prev_t = inp
-            carry = jax.tree.map(lambda c: c * (1.0 - done_prev_t)[:, None], carry)
+            carry = mask_carry(carry, done_prev_t)
             mean_t, logstd_t, carry = self.one_step(obs_t, carry)
             return carry, (mean_t, logstd_t)
 

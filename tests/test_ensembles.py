@@ -98,3 +98,37 @@ def test_crossq_trains():
     assert any(np.abs(m).max() > 0 for m in means)
     returns = model.test(1)
     assert np.isfinite(returns[0])
+
+
+from rlx_tpu.config import make_config as _mk
+
+
+@pytest.mark.parametrize("algorithm,extra", [
+    ("bro.tpu", {"algorithm.updates_per_step": 2, "algorithm.nr_quantiles": 9,
+                 "algorithm.policy_hidden_dim": 16, "algorithm.policy_nr_blocks": 1,
+                 "algorithm.critic_hidden_dim": 16, "algorithm.critic_nr_blocks": 1,
+                 "algorithm.first_reset_step": 160, "algorithm.reset_interval": 80}),
+    ("xqc.tpu", {"algorithm.nr_atoms": 11,
+                 "algorithm.policy_hidden_dim": 16, "algorithm.policy_nr_blocks": 1,
+                 "algorithm.critic_hidden_dim": 16, "algorithm.critic_nr_blocks": 1}),
+    ("simbav2.tpu", {"algorithm.nr_atoms": 11,
+                     "algorithm.policy_hidden_dim": 16, "algorithm.policy_nr_blocks": 1,
+                     "algorithm.critic_hidden_dim": 16, "algorithm.critic_nr_blocks": 1}),
+])
+def test_scaled_network_family_trains(algorithm, extra):
+    base = {
+        "algorithm.total_timesteps": 320,
+        "algorithm.learning_starts": 128,
+        "algorithm.buffer_size": 2048,
+        "algorithm.batch_size": 32,
+        "algorithm.logging_frequency": 64,
+        "environment.nr_envs": 8,
+        "runner.mesh_dp": -1,
+    }
+    base.update(extra)
+    model = create_model(_mk(algorithm, "classic.pendulum.tpu", **base))
+    model.train()
+    for leaf in jax.tree.leaves(model.states):
+        assert np.isfinite(np.asarray(leaf)).all(), algorithm
+    returns = model.test(1)
+    assert np.isfinite(returns[0])

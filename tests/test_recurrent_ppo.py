@@ -10,11 +10,13 @@ from rlx_tpu.config import create_model, make_config
 from rlx_tpu.models.recurrent import RecurrentPolicy
 
 
-@pytest.mark.parametrize("cell", ["lstm", "gru"])
+@pytest.mark.parametrize("cell", ["lstm", "gru", "mamba2", "transformer"])
 def test_sequence_matches_stepwise_with_done_resets(cell):
     """forward_sequence with done-masked resets must equal stepping one_step
     manually and zeroing the carry after dones."""
-    policy = RecurrentPolicy(action_dim=2, cell_type=cell, obs_encoding_dim=8, hidden_dim=4)
+    policy = RecurrentPolicy(action_dim=2, cell_type=cell, obs_encoding_dim=8, hidden_dim=4,
+                             cell_context_len=4, cell_nr_heads=2, cell_nr_blocks=1,
+                             cell_state_dim=4, cell_conv_kernel=3)
     B, T = 3, 6
     key = jax.random.PRNGKey(0)
     obs_seq = jax.random.normal(key, (T, B, 5))
@@ -28,10 +30,11 @@ def test_sequence_matches_stepwise_with_done_resets(cell):
     for t in range(T):
         mean_t, _, carry = policy.apply(params, obs_seq[t], carry, method=policy.one_step)
         np.testing.assert_allclose(np.asarray(mean_seq[t]), np.asarray(mean_t), atol=1e-5)
-        carry = jax.tree.map(lambda c: c * (1.0 - dones[t])[:, None], carry)
+        from rlx_tpu.models.recurrent import mask_carry
+        carry = mask_carry(carry, dones[t])
 
 
-@pytest.mark.parametrize("algorithm", ["ppo_lstm.tpu", "ppo_gru.tpu"])
+@pytest.mark.parametrize("algorithm", ["ppo_lstm.tpu", "ppo_gru.tpu", "ppo_mamba2.tpu", "ppo_transformer.tpu"])
 def test_recurrent_ppo_trains(algorithm):
     config = make_config(
         algorithm,
