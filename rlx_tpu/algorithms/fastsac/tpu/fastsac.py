@@ -45,7 +45,7 @@ class FastSAC(SAC):
             return normalizers.obs_normalize(states["obs_normalizer"], observation)
         return observation
 
-    def observe_transition(self, states, observation):
+    def observe_transition(self, states, observation, env_state):
         if not self.normalize_obs:
             return states
         return {**states, "obs_normalizer": normalizers.obs_normalizer_update(

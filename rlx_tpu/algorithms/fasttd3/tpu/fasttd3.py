@@ -86,7 +86,7 @@ class FastTD3(OffPolicyAlgorithm):
             return normalizers.obs_normalize(states["obs_normalizer"], observation)
         return observation
 
-    def observe_transition(self, states, observation):
+    def observe_transition(self, states, observation, env_state):
         if not self.normalize_obs:
             return states
         return {**states, "obs_normalizer": normalizers.obs_normalizer_update(

@@ -1,0 +1,46 @@
+"""Defaults follow `rl_x/algorithms/flashsac/flax_full_jit/default_config.py`
+(with Gym-scale logging cadence)."""
+
+from ml_collections import config_dict
+
+
+def get_config(algorithm_name):
+    config = config_dict.ConfigDict()
+
+    config.name = algorithm_name
+
+    config.total_timesteps = 1_000_000
+    config.learning_rate = 3e-4
+    config.anneal_learning_rate = False
+    config.buffer_size = 1_000_000
+    config.learning_starts = 5_000
+    config.batch_size = 256
+    config.tau = 0.005
+    config.gamma = 0.99
+    config.target_entropy = "auto"
+    config.log_std_min = -20.0
+    config.log_std_max = 2.0
+    config.policy_hidden_sizes = (256, 256)  # unused (hypersphere dims below)
+    config.critic_hidden_sizes = (256, 256)  # unused
+    config.policy_hidden_dim = 128
+    config.policy_nr_blocks = 1
+    config.critic_hidden_dim = 512
+    config.critic_nr_blocks = 2
+    config.nr_atoms = 101
+    config.v_min = -5.0
+    config.v_max = 5.0
+    config.policy_delay = 2
+    config.noise_zeta_mu = 2.0
+    config.noise_zeta_max_repeat = 64
+    config.enable_observation_normalization = True
+    config.enable_reward_normalization = True
+    config.nr_critics = 2
+    config.activation = "relu"
+    config.layer_norm = False
+    config.shard_local_sampling = True
+    config.logging_frequency = 5_000
+    config.evaluation_and_save_frequency = -1
+    config.evaluation_active = True
+    config.logging_active = True
+
+    return config

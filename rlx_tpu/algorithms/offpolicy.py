@@ -123,8 +123,12 @@ class OffPolicyAlgorithm:
         """Override to store extra per-transition fields."""
         return {}
 
-    def observe_transition(self, states, observation):
+    def observe_transition(self, states, observation, env_state):
         """Hook after each env step (FastTD3-family running normalizers)."""
+        return states
+
+    def pre_act(self, states, key, step):
+        """Hook before acting (FlashSAC's repeated-noise state)."""
         return states
 
     # --- scaffolding -------------------------------------------------------
@@ -166,13 +170,14 @@ class OffPolicyAlgorithm:
 
     def _learning_step(self, carry, step):
         states, buffer, env_state, key = carry
-        key, action_key, sample_key, update_key = jax.random.split(key, 4)
+        key, pre_act_key, action_key, sample_key, update_key = jax.random.split(key, 5)
 
+        states = self.pre_act(states, pre_act_key, step)
         observation = env_state.observation
         action = self.act(states, observation, action_key, step)
         env_state = self.train_env.step(env_state, self.process_action(action))
         buffer = self._store_step(buffer, observation, action, env_state)
-        states = self.observe_transition(states, observation)
+        states = self.observe_transition(states, observation, env_state)
 
         if hasattr(self, "update_with_buffer"):
             # High-UTD algorithms (REDQ/DroQ/AQE) draw several fresh batches

@@ -1,0 +1,14 @@
+from rlx_tpu.environments.types import (
+    ActionSpaceType,
+    DataInterfaceType,
+    DeepLearningFrameworkType,
+    ObservationSpaceType,
+)
+
+
+class GeneralProperties:
+    observation_space_types = [ObservationSpaceType.FLAT_VALUES]
+    action_space_types = [ActionSpaceType.CONTINUOUS]
+    data_interface_types = [DataInterfaceType.JAX]
+
+    deep_learning_framework_type = DeepLearningFrameworkType.JAX

@@ -1,0 +1,39 @@
+"""dm_control suite 'cheetah/run' (reference: rl_x/environments/gym/dmc/)."""
+
+from ml_collections import config_dict
+
+from rlx_tpu.environments.dmc.host_bridge import DMCHostEnv
+from rlx_tpu.environments.environment_manager import extract_environment_name_from_file, register_environment
+from rlx_tpu.environments.types import (
+    ActionSpaceType, DataInterfaceType, ObservationSpaceType, SimulationType,
+)
+
+
+def get_config(environment_name):
+    config = config_dict.ConfigDict()
+    config.name = environment_name
+    config.seed = 1
+    config.nr_envs = 4
+    config.render = False
+    return config
+
+
+def create_train_and_eval_env(config):
+    train_env = DMCHostEnv("cheetah", "run", config.environment.nr_envs,
+                           seed=config.environment.seed)
+    eval_env = DMCHostEnv("cheetah", "run", config.environment.nr_envs,
+                          seed=config.environment.seed + 10_000)
+    for env in (train_env, eval_env):
+        env.general_properties = GeneralProperties
+    return train_env, eval_env
+
+
+class GeneralProperties:
+    action_space_type = ActionSpaceType.CONTINUOUS
+    observation_space_type = ObservationSpaceType.FLAT_VALUES
+    data_interface_type = DataInterfaceType.JAX
+    simulation_type = SimulationType.HOST
+
+
+NAME = extract_environment_name_from_file(__file__)
+register_environment(NAME, get_config, create_train_and_eval_env, GeneralProperties)

@@ -1,0 +1,159 @@
+"""ctypes bindings + device-protocol adapter for the native env batcher.
+
+The C++ library (envbatch.cpp) is compiled lazily on first use with g++ and
+cached next to the source; bindings use ctypes (no pybind11 in this image).
+``NativeEnvBatch`` presents the same device-env protocol as HostGymEnv —
+ordered io_callbacks step the C++ thread pool from inside the fused program.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rlx_tpu.environments.gym.host_bridge import HostEnvState
+from rlx_tpu.environments.spaces import BoxSpace, DiscreteSpace
+
+_NATIVE_DIR = os.path.dirname(os.path.abspath(__file__))
+_SO_PATH = os.path.join(_NATIVE_DIR, "libenvbatch.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "envbatch.cpp")
+
+_lib = None
+
+
+def _load_library():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if (not os.path.exists(_SO_PATH)) or (
+        os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)
+    ):
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+             "-o", _SO_PATH, _SRC_PATH, "-lpthread"],
+            check=True,
+            capture_output=True,
+        )
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.envbatch_create.restype = ctypes.c_void_p
+    lib.envbatch_create.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_int]
+    lib.envbatch_obs_dim.restype = ctypes.c_int
+    lib.envbatch_obs_dim.argtypes = [ctypes.c_void_p]
+    lib.envbatch_horizon.restype = ctypes.c_int
+    lib.envbatch_horizon.argtypes = [ctypes.c_void_p]
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.envbatch_reset.argtypes = [ctypes.c_void_p, f32p]
+    lib.envbatch_step.argtypes = [ctypes.c_void_p, f32p, f32p, f32p, f32p, u8p, u8p, f32p]
+    lib.envbatch_destroy.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+ENV_SPECS = {
+    "pendulum": dict(discrete=False, act_dim=1, act_low=-2.0, act_high=2.0),
+    "cart_pole": dict(discrete=True, nr_actions=2),
+}
+
+
+class NativeEnvBatch:
+    """C++-vectorized host environment with the device-env protocol."""
+
+    def __init__(self, env_id, nr_envs, seed=0, nr_threads=0):
+        spec = ENV_SPECS[env_id]
+        self._lib = _load_library()
+        self._handle = self._lib.envbatch_create(
+            env_id.encode(), nr_envs, seed, nr_threads
+        )
+        if not self._handle:
+            raise ValueError(f"unknown native env '{env_id}'")
+        self.env_id = env_id
+        self.nr_envs = nr_envs
+        self.horizon = self._lib.envbatch_horizon(self._handle)
+        self._obs_dim = self._lib.envbatch_obs_dim(self._handle)
+        self._discrete = spec["discrete"]
+        self.single_observation_space = BoxSpace(
+            low=-np.inf, high=np.inf, shape=(self._obs_dim,)
+        )
+        if self._discrete:
+            self.single_action_space = DiscreteSpace(spec["nr_actions"])
+        else:
+            self.single_action_space = BoxSpace(
+                low=spec["act_low"], high=spec["act_high"], shape=(spec["act_dim"],)
+            )
+
+    # host side ------------------------------------------------------------
+    def _host_reset(self, _seed):
+        obs = np.empty((self.nr_envs, self._obs_dim), np.float32)
+        self._lib.envbatch_reset(self._handle, obs)
+        return obs
+
+    def _host_step(self, actions):
+        actions = np.ascontiguousarray(np.asarray(actions, np.float32).reshape(self.nr_envs, -1))
+        obs = np.empty((self.nr_envs, self._obs_dim), np.float32)
+        final_obs = np.empty_like(obs)
+        reward = np.empty(self.nr_envs, np.float32)
+        term = np.empty(self.nr_envs, np.uint8)
+        trunc = np.empty(self.nr_envs, np.uint8)
+        stats = np.empty((self.nr_envs, 2), np.float32)
+        self._lib.envbatch_step(self._handle, actions, obs, final_obs, reward, term, trunc, stats)
+        return obs, final_obs, reward, term.astype(bool), trunc.astype(bool), stats
+
+    # device side ----------------------------------------------------------
+    def reset(self, key, eval_mode=False):
+        import jax.experimental
+
+        seed = jax.random.randint(key, (), 0, 2**31 - 1)
+        observation = jax.experimental.io_callback(
+            self._host_reset,
+            jax.ShapeDtypeStruct((self.nr_envs, self._obs_dim), jnp.float32),
+            seed,
+            ordered=True,
+        )
+        zeros = jnp.zeros(self.nr_envs)
+        falses = jnp.zeros(self.nr_envs, bool)
+        return HostEnvState(
+            observation=observation,
+            final_observation=observation,
+            reward=zeros,
+            terminated=falses,
+            truncated=falses,
+            info={"rollout/episode_return": zeros, "rollout/episode_length": zeros},
+            key=key,
+            eval_mode=eval_mode,
+        )
+
+    def step(self, state, action):
+        import jax.experimental
+
+        action = action.astype(jnp.float32)
+        out_specs = (
+            jax.ShapeDtypeStruct((self.nr_envs, self._obs_dim), jnp.float32),
+            jax.ShapeDtypeStruct((self.nr_envs, self._obs_dim), jnp.float32),
+            jax.ShapeDtypeStruct((self.nr_envs,), jnp.float32),
+            jax.ShapeDtypeStruct((self.nr_envs,), bool),
+            jax.ShapeDtypeStruct((self.nr_envs,), bool),
+            jax.ShapeDtypeStruct((self.nr_envs, 2), jnp.float32),
+        )
+        observation, final_observation, reward, terminated, truncated, stats = (
+            jax.experimental.io_callback(self._host_step, out_specs, action, ordered=True)
+        )
+        return state.replace(
+            observation=observation,
+            final_observation=final_observation,
+            reward=reward,
+            terminated=terminated,
+            truncated=truncated,
+            info={
+                "rollout/episode_return": stats[:, 0],
+                "rollout/episode_length": stats[:, 1],
+            },
+        )
+
+    def close(self):
+        if self._handle:
+            self._lib.envbatch_destroy(self._handle)
+            self._handle = None

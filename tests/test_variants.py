@@ -85,3 +85,29 @@ def test_variant_trains(algorithm, env, extra):
                              (model.policy_state.params, model.critic_state.params))
     for leaf in leaves:
         assert np.isfinite(np.asarray(leaf)).all(), algorithm
+
+
+def test_reppo_trains():
+    config = make_config(
+        "reppo.tpu",
+        "classic.pendulum.tpu",
+        **{
+            "algorithm.total_timesteps": 512,
+            "algorithm.nr_steps": 16,
+            "algorithm.nr_minibatches": 2,
+            "algorithm.nr_epochs": 2,
+            "algorithm.nr_kl_samples": 4,
+            "algorithm.nr_bins": 21,
+            "algorithm.policy_hidden_dim": 32,
+            "algorithm.critic_hidden_dim": 32,
+            "algorithm.evaluation_active": False,
+            "environment.nr_envs": 8,
+            "runner.mesh_dp": -1,
+        },
+    )
+    model = create_model(config)
+    model.train()
+    for leaf in jax.tree.leaves((model.policy_state.params, model.critic_state.params)):
+        assert np.isfinite(np.asarray(leaf)).all()
+    returns = model.test(1)
+    assert np.isfinite(returns[0])
