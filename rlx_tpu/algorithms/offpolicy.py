@@ -324,6 +324,8 @@ class OffPolicyAlgorithm:
         )
 
     def checkpoint_tree(self, states):
+        if self.config.runner.save_optimizer_state:
+            return {"full": ckpt.full_state_dict(states)}
         tree = {}
         for name, state in states.items():
             if hasattr(state, "params"):
@@ -335,6 +337,9 @@ class OffPolicyAlgorithm:
         return tree
 
     def restore_from_tree(self, restored):
+        if "full" in restored:
+            self.states = ckpt.restore_full_state(self.states, restored["full"])
+            return
         states = dict(self.states)
         for name, state in states.items():
             if hasattr(state, "params"):

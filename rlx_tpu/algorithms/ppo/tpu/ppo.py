@@ -365,25 +365,36 @@ class PPO:
 
     # ---------------------------------------------------------- save / load
 
+    def _checkpoint_tree(self, policy_state, critic_state):
+        if self.config.runner.save_optimizer_state:
+            return {"full": ckpt.full_state_dict({"policy": policy_state, "critic": critic_state})}
+        return {"policy": policy_state.params, "critic": critic_state.params}
+
     def save(self, policy_state=None, critic_state=None):
         policy_state = self.policy_state if policy_state is None else policy_state
         critic_state = self.critic_state if critic_state is None else critic_state
         ckpt.save_model_file(
             self.save_path,
             "latest.model",
-            {"policy": policy_state.params, "critic": critic_state.params},
+            self._checkpoint_tree(policy_state, critic_state),
             self.config.algorithm.to_dict(),
         )
 
-    @staticmethod
-    def load(config, train_env, eval_env, run_path, writer, explicitly_set_algorithm_params):
+    @classmethod
+    def load(cls, config, train_env, eval_env, run_path, writer, explicitly_set_algorithm_params):
         restored, loaded_config = ckpt.load_model_file(config.runner.load_model)
         ckpt.merge_loaded_algorithm_config(config, loaded_config, explicitly_set_algorithm_params)
-        model = PPO(config, train_env, eval_env, run_path, writer)
-        target = {"policy": model.policy_state.params, "critic": model.critic_state.params}
+        model = cls(config, train_env, eval_env, run_path, writer)
+        target = model._checkpoint_tree(model.policy_state, model.critic_state)
         restored, _ = ckpt.load_model_file(config.runner.load_model, target)
-        model.policy_state = model.policy_state.replace(params=restored["policy"])
-        model.critic_state = model.critic_state.replace(params=restored["critic"])
+        if "full" in restored:
+            states = ckpt.restore_full_state(
+                {"policy": model.policy_state, "critic": model.critic_state}, restored["full"]
+            )
+            model.policy_state, model.critic_state = states["policy"], states["critic"]
+        else:
+            model.policy_state = model.policy_state.replace(params=restored["policy"])
+            model.critic_state = model.critic_state.replace(params=restored["critic"])
         return model
 
     def test(self, episodes):

@@ -23,12 +23,16 @@ def make_gym_registration(env_id, discrete=False, nr_envs=8):
         config.env_id = env_id
         config.seed = 1
         config.nr_envs = nr_envs
+        config.async_workers = 0  # > 0: thread-pool stepping
+        config.async_skip_percentage = 0.0  # fraction of slowest envs to skip
         config.render = False
         return config
 
     def create_train_and_eval_env(config):
         train_env = HostGymEnv(config.environment.env_id, config.environment.nr_envs,
-                               seed=config.environment.seed)
+                               seed=config.environment.seed,
+                               async_workers=config.environment.async_workers,
+                               async_skip_percentage=config.environment.async_skip_percentage)
         eval_env = HostGymEnv(config.environment.env_id, config.environment.nr_envs,
                               seed=config.environment.seed + 10_000)
         for env in (train_env, eval_env):

@@ -41,9 +41,18 @@ class HostEnvState:
 
 
 class HostGymEnv:
-    """Adapter presenting the device-env protocol over Gymnasium envs."""
+    """Adapter presenting the device-env protocol over Gymnasium envs.
 
-    def __init__(self, env_id, nr_envs, seed=0, env_kwargs=None):
+    ``async_workers > 0`` steps envs on a thread pool and, like the
+    reference's AsyncVectorEnvWithSkipping
+    (`rl_x/environments/gym/mujoco/humanoid_v4/async_vectorized_wrapper.py:10-90`),
+    may SKIP the slowest ``async_skip_percentage`` of envs per step: a
+    skipped env returns its previous observation with zero reward and its
+    in-flight step is collected before the next action is applied.
+    """
+
+    def __init__(self, env_id, nr_envs, seed=0, env_kwargs=None,
+                 async_workers=0, async_skip_percentage=0.0):
         import gymnasium as gym
 
         self.env_id = env_id
@@ -53,6 +62,14 @@ class HostGymEnv:
         self._episode_return = np.zeros(nr_envs)
         self._episode_length = np.zeros(nr_envs)
         self._last_stats = np.zeros((nr_envs, 2), dtype=np.float32)
+        self._async_skip = async_skip_percentage
+        self._pool = None
+        self._pending = [None] * nr_envs
+        self._last_obs = None
+        if async_workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=async_workers)
 
         env0 = self._envs[0]
         obs_space = env0.observation_space
@@ -87,9 +104,13 @@ class HostGymEnv:
         self._episode_return[:] = 0.0
         self._episode_length[:] = 0.0
         self._last_stats[:] = 0.0
-        return np.asarray(observations, np.float32)
+        out = np.asarray(observations, np.float32)
+        self._last_obs = out.copy()
+        return out
 
     def _host_step(self, actions):
+        if self._pool is not None:
+            return self._host_step_async(actions)
         actions = np.asarray(actions)
         obs_out = np.empty(self._obs_shape, np.float32)
         final_out = np.empty(self._obs_shape, np.float32)
@@ -121,6 +142,60 @@ class HostGymEnv:
             truncated,
             self._last_stats.copy(),
         )
+
+    def _step_one(self, i, action):
+        env = self._envs[i]
+        if self._discrete:
+            action = int(action)
+        obs, r, term, trunc, _ = env.step(action)
+        final = obs
+        self._episode_return[i] += r
+        self._episode_length[i] += 1
+        if term or trunc:
+            self._last_stats[i] = (self._episode_return[i], self._episode_length[i])
+            self._episode_return[i] = 0.0
+            self._episode_length[i] = 0.0
+            obs, _ = env.reset()
+        return np.asarray(obs, np.float32), np.asarray(final, np.float32), r, term, trunc
+
+    def _host_step_async(self, actions):
+        import time as _time
+
+        actions = np.asarray(actions)
+        obs_out = np.empty(self._obs_shape, np.float32)
+        final_out = np.empty(self._obs_shape, np.float32)
+        reward = np.zeros(self.nr_envs, np.float32)
+        terminated = np.zeros(self.nr_envs, bool)
+        truncated = np.zeros(self.nr_envs, bool)
+
+        # dispatch new steps only for envs whose previous step has landed
+        for i in range(self.nr_envs):
+            if self._pending[i] is None:
+                self._pending[i] = self._pool.submit(self._step_one, i, actions[i])
+
+        max_skipped = int(self.nr_envs * self._async_skip)
+        deadline_pending = self.nr_envs
+        while True:
+            unfinished = [i for i in range(self.nr_envs) if not self._pending[i].done()]
+            if len(unfinished) <= max_skipped:
+                break
+            _time.sleep(0.0005)
+            deadline_pending = len(unfinished)
+        del deadline_pending
+
+        for i in range(self.nr_envs):
+            future = self._pending[i]
+            if future.done():
+                obs, final, r, term, trunc = future.result()
+                obs_out[i], final_out[i] = obs, final
+                reward[i], terminated[i], truncated[i] = r, term, trunc
+                self._pending[i] = None
+            else:
+                # skipped: dummy result, step keeps running in the background
+                obs_out[i] = self._last_obs[i]
+                final_out[i] = self._last_obs[i]
+        self._last_obs = obs_out.copy()
+        return obs_out, final_out, reward, terminated, truncated, self._last_stats.copy()
 
     # ----------------------------------------------------------- device side
     def reset(self, key, eval_mode=False):

@@ -20,7 +20,14 @@ def get_config():
 
     config.save_model = False
     config.load_model = ""
+    # Preemption-safe checkpoints: include optimizer state + step counters so
+    # interrupted runs restore exactly (reference saves params only).
+    config.save_optimizer_state = False
     config.nr_test_episodes = 10
+
+    # Write a TensorBoard-viewable device trace of the whole run
+    # (jax.profiler.trace) into this directory when set.
+    config.profile_dir = ""
 
     # JAX / XLA setup
     config.jax_default_matmul_precision = "bfloat16"

@@ -242,7 +242,13 @@ class Runner:
             model = model_class(config, train_env, eval_env, run_path, writer)
 
         try:
-            model.train()
+            if config.runner.profile_dir:
+                import jax
+
+                with jax.profiler.trace(config.runner.profile_dir):
+                    model.train()
+            else:
+                model.train()
         finally:
             train_env.close()
             eval_env.close()

@@ -23,6 +23,29 @@ def _to_host(tree):
     return jax.tree.map(lambda x: jax.device_get(x), tree)
 
 
+def full_state_dict(train_state_tree):
+    """Arrays-only view of a pytree of TrainStates (drops apply_fn/tx), for
+    preemption-safe checkpoints that include optimizer state and step count."""
+    from flax import serialization
+
+    return jax.tree.map(
+        serialization.to_state_dict, train_state_tree,
+        is_leaf=lambda x: hasattr(x, "opt_state"),
+    )
+
+
+def restore_full_state(train_state_tree, loaded):
+    """Inverse of full_state_dict: pour arrays back into live TrainStates."""
+    from flax import serialization
+
+    return jax.tree.map(
+        lambda state, data: serialization.from_state_dict(state, data)
+        if hasattr(state, "opt_state") else data,
+        train_state_tree, loaded,
+        is_leaf=lambda x: hasattr(x, "opt_state"),
+    )
+
+
 def save_model_file(save_path, file_name, checkpoint_tree, algorithm_config_dict):
     """Write ``<save_path>/<file_name>`` (a zip) atomically."""
     os.makedirs(save_path, exist_ok=True)

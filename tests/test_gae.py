@@ -49,3 +49,22 @@ def test_gae_truncation_bootstraps():
     # true termination: no bootstrap
     adv, _ = gae_advantages(rewards, values, next_values, jnp.ones((T, B), bool), 0.5, 1.0)
     assert np.isclose(float(adv[0, 0]), 1.0)
+
+
+def test_pallas_gae_matches_scan():
+    """The fused Pallas kernel (interpret mode on CPU) must match the scan."""
+    from rlx_tpu.ops.gae_pallas import gae_advantages_pallas
+
+    rng = np.random.default_rng(5)
+    T, B = 24, 16
+    rewards = jnp.asarray(rng.normal(size=(T, B)), jnp.float32)
+    values = jnp.asarray(rng.normal(size=(T, B)), jnp.float32)
+    next_values = jnp.asarray(rng.normal(size=(T, B)), jnp.float32)
+    terminations = jnp.asarray(rng.random((T, B)) < 0.15)
+
+    adv_s, ret_s = gae_advantages(rewards, values, next_values, terminations, 0.99, 0.95)
+    adv_p, ret_p = gae_advantages_pallas(
+        rewards, values, next_values, terminations, 0.99, 0.95, block_b=8, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(adv_p), np.asarray(adv_s), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(ret_p), np.asarray(ret_s), rtol=1e-5, atol=1e-5)

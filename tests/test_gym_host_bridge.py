@@ -92,3 +92,34 @@ def test_sac_on_host_mujoco_hopper():
     for leaf in jax.tree.leaves(model.states["policy"].params):
         assert np.isfinite(np.asarray(leaf)).all()
     model.train_env.close()
+
+
+def test_async_skipping_bridge():
+    """Thread-pool stepping with skipping: slow envs get dummy results and
+    their in-flight steps land before the next action applies."""
+    import time
+
+    env = HostGymEnv("Pendulum-v1", nr_envs=4, seed=0,
+                     async_workers=4, async_skip_percentage=0.5)
+    # make env 0 artificially slow
+    inner0 = env._envs[0]
+    original_step = inner0.step
+
+    def slow_step(action):
+        time.sleep(0.05)
+        return original_step(action)
+
+    inner0.step = slow_step
+    state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    skipped_seen = False
+    prev_obs = np.asarray(state.observation[0])
+    for _ in range(6):
+        state = step(state, jnp.zeros((4, 1)))
+        obs0 = np.asarray(state.observation[0])
+        if np.allclose(obs0, prev_obs) and float(state.reward[0]) == 0.0:
+            skipped_seen = True
+        prev_obs = obs0
+    assert skipped_seen
+    assert np.isfinite(np.asarray(state.observation)).all()
+    env.close()

@@ -97,3 +97,26 @@ def test_ppo_learns_pendulum():
     mean_return = float(jnp.mean(state.info["rollout/episode_return"]))
     # random policy gets about -1200; a trained one should be far better
     assert mean_return > -700, mean_return
+
+
+def test_ppo_full_state_resume(tmp_path):
+    """Preemption-safe checkpoint: optimizer state and step counter survive
+    the save/load roundtrip."""
+    config = tiny_config(**{"runner.save_model": True, "runner.save_optimizer_state": True})
+    model = create_model(config, run_path=str(tmp_path))
+    model.train()
+    saved_step = int(model.policy_state.step)
+    assert saved_step > 0
+    model.save()
+
+    config2 = tiny_config(**{"runner.save_optimizer_state": True})
+    config2.runner.load_model = str(tmp_path / "models" / "latest.model")
+    from rlx_tpu.algorithms.ppo.tpu.ppo import PPO
+    from rlx_tpu.config import create_env
+
+    train_env, eval_env = create_env(config2)
+    model2 = PPO.load(config2, train_env, eval_env, str(tmp_path), None, [])
+    assert int(model2.policy_state.step) == saved_step
+    # adam moments restored (non-zero after training)
+    mu_leaves = jax.tree.leaves(model2.policy_state.opt_state[1].inner_state[0].mu)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in mu_leaves)
