@@ -9,6 +9,7 @@ def get_config(algorithm_name):
 
     config.name = algorithm_name
 
+    config.nr_parallel_seeds = 1
     config.total_timesteps = 1_000_000
     config.learning_rate = 3e-4
     config.anneal_learning_rate = True

@@ -64,6 +64,11 @@ class PPO:
         self.max_grad_norm = a.max_grad_norm
         self.evaluation_active = a.evaluation_active
 
+        if getattr(a, "nr_parallel_seeds", 1) > 1:
+            # Reference parity (`ppo/flax_full_jit/ppo.py:70-71`): vmapping the
+            # whole run over seeds conflicts with per-run logging/tracking.
+            raise ValueError("Parallel seeds are not supported yet (logging is per-run).")
+
         self.batch_size = self.nr_envs * self.nr_steps
         self.nr_updates = self.total_timesteps // self.batch_size
         self.nr_minibatches = self.batch_size // self.minibatch_size
