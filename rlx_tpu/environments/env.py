@@ -131,7 +131,8 @@ class DeviceEnv:
         # batch (cheap for analytic envs) and selected per-env by `done`.
         reset_physics = self.initial_physics(reset_key, state.eval_mode)
         new_physics = tree_where(done, reset_physics, physics)
-        new_observation = jnp.where(done[:, None], self.observe(reset_physics), observation)
+        done_obs = done.reshape((-1,) + (1,) * (observation.ndim - 1))
+        new_observation = jnp.where(done_obs, self.observe(reset_physics), observation)
 
         episode_store = {
             "episode_return": jnp.where(done, 0.0, episode_return),

@@ -9,6 +9,9 @@ def create_train_and_eval_env(config):
         horizon=env_config.horizon,
         action_scaling_factor=env_config.action_scaling_factor,
         nr_substeps=env_config.nr_substeps,
+        initial_state_noise=env_config.initial_state_noise,
+        perturbation_chance=env_config.perturbation_chance,
+        perturbation_velocity=env_config.perturbation_velocity,
     )
     train_env.general_properties = GeneralProperties
     if env_config.copy_train_env_for_eval:

@@ -14,6 +14,9 @@ def get_config(environment_name):
     config.action_scaling_factor = 0.3
     config.nr_substeps = 4
     config.copy_train_env_for_eval = True
+    config.initial_state_noise = 0.0
+    config.perturbation_chance = 0.0
+    config.perturbation_velocity = 0.5
     config.render = False
 
     return config

@@ -36,11 +36,17 @@ class AntPhysics(NamedTuple):
 
 
 class Ant(DeviceEnv):
-    def __init__(self, nr_envs, horizon=1000, action_scaling_factor=0.3, nr_substeps=4):
+    def __init__(self, nr_envs, horizon=1000, action_scaling_factor=0.3, nr_substeps=4,
+                 initial_state_noise=0.0, perturbation_chance=0.0, perturbation_velocity=0.5):
         self.nr_envs = nr_envs
         self.horizon = horizon
         self.action_scaling_factor = action_scaling_factor
         self.nr_substeps = nr_substeps
+        # domain randomization (robot_locomotion parity slice): reset-pose
+        # noise and random torso velocity kicks during rollouts
+        self.initial_state_noise = initial_state_noise
+        self.perturbation_chance = perturbation_chance
+        self.perturbation_velocity = perturbation_velocity
 
         self.model = load_mjcf(xml_path=ANT_XML, keyframe="home")
         self.nominal_joint_positions = jnp.asarray(self.model.qpos0[7:])
@@ -49,8 +55,16 @@ class Ant(DeviceEnv):
         self.target_local_x_velocity = 2.0
         self.target_local_y_velocity = 0.0
 
-        joint_low = self.model.jnt_range[1:, 0]
-        joint_high = self.model.jnt_range[1:, 1]
+        # Per-hinge limits in dof order (bodies without joints contribute none).
+        from rlx_tpu.physics.model import HINGE
+
+        hinge_rows = sorted(
+            (int(self.model.dof_adr[i]), i)
+            for i in range(self.model.nbody)
+            if int(self.model.jnt_type[i]) == HINGE
+        )
+        joint_low = jnp.asarray([self.model.jnt_range[i, 0] for _, i in hinge_rows])
+        joint_high = jnp.asarray([self.model.jnt_range[i, 1] for _, i in hinge_rows])
         self.single_action_space = BoxSpace(
             low=joint_low, high=joint_high, shape=(self.nr_joints,),
             center=self.nominal_joint_positions,
@@ -63,6 +77,12 @@ class Ant(DeviceEnv):
     def initial_physics(self, key, eval_mode):
         qpos = jnp.tile(jnp.asarray(self.model.qpos0)[None], (self.nr_envs, 1))
         qvel = jnp.zeros((self.nr_envs, self.model.nv))
+        if self.initial_state_noise > 0.0 and not eval_mode:
+            joint_key, vel_key = jax.random.split(key)
+            qpos = qpos.at[:, 7:].add(
+                self.initial_state_noise * jax.random.normal(joint_key, (self.nr_envs, self.nr_joints))
+            )
+            qvel = qvel + self.initial_state_noise * jax.random.normal(vel_key, qvel.shape)
         ctrl = jnp.tile(self.nominal_joint_positions[None], (self.nr_envs, 1))
         return AntPhysics(qpos=qpos, qvel=qvel, ctrl=ctrl)
 
@@ -89,7 +109,13 @@ class Ant(DeviceEnv):
 
     def transition(self, physics, action, key):
         ctrl = self.nominal_joint_positions[None] + action * self.action_scaling_factor
-        qpos, qvel = engine.step(self.model, physics.qpos, physics.qvel, ctrl, nr_substeps=self.nr_substeps)
+        qvel_in = physics.qvel
+        if self.perturbation_chance > 0.0:
+            kick_key, dir_key = jax.random.split(key)
+            kicked = jax.random.uniform(kick_key, (self.nr_envs,)) < self.perturbation_chance
+            kick = self.perturbation_velocity * jax.random.normal(dir_key, (self.nr_envs, 2))
+            qvel_in = qvel_in.at[:, :2].add(jnp.where(kicked[:, None], kick, 0.0))
+        qpos, qvel = engine.step(self.model, physics.qpos, qvel_in, ctrl, nr_substeps=self.nr_substeps)
         new_physics = AntPhysics(qpos=qpos, qvel=qvel, ctrl=ctrl)
 
         R = quat_to_rot(qpos[:, 3:7])

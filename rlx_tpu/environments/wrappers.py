@@ -13,6 +13,7 @@ algorithm directories:
 As wrappers they compose with EVERY algorithm, not just PPO.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -67,6 +68,62 @@ class ObservationWindowWrapper:
 
     def close(self):
         self.env.close()
+
+
+class DomainRandomizationWrapper:
+    """Generic device-env domain randomization / fault injection.
+
+    Capability slice of the reference's robot_locomotion randomization
+    registries (`rl_x/environments/custom_mujoco/robot_locomotion/mjx/
+    default_config.py:26-64`): per-env observation noise and stochastic
+    action delay (the previous action is replayed with probability
+    ``action_delay_chance`` — the jittable analogue of delayed actuation /
+    dropped commands).  All randomness is device-side and batched.
+    """
+
+    def __init__(self, env, observation_noise_std=0.0, action_delay_chance=0.0):
+        self.env = env
+        self.observation_noise_std = observation_noise_std
+        self.action_delay_chance = action_delay_chance
+        self.nr_envs = env.nr_envs
+        self.horizon = env.horizon
+        self.single_observation_space = env.single_observation_space
+        self.single_action_space = env.single_action_space
+        self.general_properties = getattr(env, "general_properties", None)
+        self._action_dim = int(np.prod(env.single_action_space.shape))
+
+    def _noisy(self, observation, key):
+        if self.observation_noise_std <= 0.0:
+            return observation
+        return observation + self.observation_noise_std * jax.random.normal(
+            key, observation.shape
+        )
+
+    def reset(self, key, eval_mode=False):
+        key, noise_key = jax.random.split(key)
+        inner = self.env.reset(key, eval_mode)
+        last_action = jnp.zeros((self.nr_envs, self._action_dim))
+        return inner.replace(
+            physics={"inner": inner.physics, "last_action": last_action},
+            observation=self._noisy(inner.observation, noise_key),
+        )
+
+    def step(self, state, action):
+        key, delay_key, noise_key = jax.random.split(state.key, 3)
+        last_action = state.physics["last_action"]
+        if self.action_delay_chance > 0.0:
+            delayed = jax.random.uniform(delay_key, (self.nr_envs,)) < self.action_delay_chance
+            action = jnp.where(delayed[:, None], last_action, action)
+        inner_state = state.replace(physics=state.physics["inner"], key=key)
+        inner = self.env.step(inner_state, action)
+        return inner.replace(
+            physics={"inner": inner.physics, "last_action": action},
+            observation=self._noisy(inner.observation, noise_key),
+        )
+
+    def close(self):
+        self.env.close()
+
 
 
 class MemoryActionsWrapper:

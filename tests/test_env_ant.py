@@ -65,3 +65,13 @@ def test_ppo_on_ant_mesh_smoke():
     model.train()
     for leaf in jax.tree.leaves(model.policy_state.params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_ant_action_space_bounds_are_per_hinge():
+    env = Ant(nr_envs=1, horizon=10)
+    low = np.asarray(env.single_action_space.low)
+    high = np.asarray(env.single_action_space.high)
+    assert low.shape == (8,) and high.shape == (8,)
+    assert (high > low).all()  # every hinge has a real range
+    # hip range +-30deg, ankle ranges 30..70deg magnitudes
+    assert np.isclose(np.abs(low).max(), np.radians(70), atol=1e-4)

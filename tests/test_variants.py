@@ -111,3 +111,39 @@ def test_reppo_trains():
         assert np.isfinite(np.asarray(leaf)).all()
     returns = model.test(1)
     assert np.isfinite(returns[0])
+
+
+def test_domain_randomization_wrapper():
+    from rlx_tpu.environments.wrappers import DomainRandomizationWrapper
+
+    env = DomainRandomizationWrapper(
+        Pendulum(nr_envs=4, horizon=20), observation_noise_std=0.1, action_delay_chance=1.0
+    )
+    state = env.reset(jax.random.PRNGKey(0))
+    step = jax.jit(env.step)
+    # delay chance 1.0: first step replays the zero init action regardless of input
+    s1 = step(state, jnp.full((4, 1), 2.0))
+    s1_ref = step(state, jnp.full((4, 1), -2.0))
+    np.testing.assert_allclose(
+        np.asarray(s1.physics["inner"].theta_dot), np.asarray(s1_ref.physics["inner"].theta_dot),
+        atol=1e-6,
+    )
+    # observation noise present
+    clean = jnp.stack([jnp.cos(s1.physics["inner"].theta), jnp.sin(s1.physics["inner"].theta),
+                       s1.physics["inner"].theta_dot], axis=-1)
+    assert not np.allclose(np.asarray(s1.observation), np.asarray(clean))
+
+
+def test_ant_randomization_options():
+    from rlx_tpu.environments.locomotion.ant.tpu.environment import Ant
+
+    env = Ant(nr_envs=4, horizon=20, initial_state_noise=0.05,
+              perturbation_chance=0.5, perturbation_velocity=1.0)
+    state = env.reset(jax.random.PRNGKey(0))
+    # reset poses differ across envs under initial-state noise
+    qpos = np.asarray(state.physics.qpos)
+    assert not np.allclose(qpos[0, 7:], qpos[1, 7:])
+    step = jax.jit(env.step)
+    for _ in range(10):
+        state = step(state, jnp.zeros((4, 8)))
+    assert np.isfinite(np.asarray(state.observation)).all()
