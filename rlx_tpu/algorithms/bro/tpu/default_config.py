@@ -30,6 +30,11 @@ def get_config(algorithm_name):
     config.updates_per_step = 10
     config.std_multiplier = 0.75
     config.use_optimistic_exploration = True
+    config.adjustment_learning_rate = 3e-5
+    config.pessimism = 0.0
+    config.kl_target = 0.05
+    config.init_optimism = 1.0
+    config.init_regularizer = 0.25
     config.first_reset_step = 15_000
     config.reset_interval = 500_000
     config.nr_critics = 2

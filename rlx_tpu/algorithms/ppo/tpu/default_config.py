@@ -16,6 +16,7 @@ def get_config(algorithm_name):
     config.nr_steps = 128
     config.nr_epochs = 10
     config.minibatch_size = 64
+    config.shard_local_minibatching = True  # dp>1: per-shard permutations, local gathers
     config.gamma = 0.99
     config.gae_lambda = 0.95
     config.clip_range = 0.2

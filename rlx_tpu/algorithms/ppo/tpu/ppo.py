@@ -93,6 +93,16 @@ class PPO:
         )
         if self.nr_envs % self.mesh.shape[mesh_lib.DP_AXIS] != 0:
             raise ValueError("nr_envs must be divisible by the dp mesh axis size")
+        self.dp_size = self.mesh.shape[mesh_lib.DP_AXIS]
+        # Shard-local minibatching keeps every per-minibatch gather on its own
+        # device (no all-to-all); at dp=1 it is exactly the reference's global
+        # permutation. Falls back to global gathers when sizes don't divide.
+        self.shard_local_minibatching = (
+            getattr(a, "shard_local_minibatching", True)
+            and self.dp_size > 1
+            and self.batch_size % self.dp_size == 0
+            and self.minibatch_size % self.dp_size == 0
+        )
 
         self.logger = MetricsLogger(
             config.runner.track_console, config.runner.track_tb, config.runner.track_wandb, writer
@@ -188,11 +198,18 @@ class PPO:
         )
 
         # --- flatten + shard the update batch over dp ----------------------
-        batch_observations = observations.reshape((-1,) + self.os_shape)
-        batch_actions = actions.reshape((-1,) + self.as_shape) if self.continuous else actions.reshape(-1)
-        batch_advantages = advantages.reshape(-1)
-        batch_returns = returns.reshape(-1)
-        batch_log_probs = log_probs.reshape(-1)
+        # Shard-local minibatching flattens env-major so the merged axis stays
+        # contiguous per dp shard (the rollout's env axis is the sharded one);
+        # otherwise keep the reference's step-major flatten for curve parity.
+        if self.shard_local_minibatching:
+            flat = lambda x: jnp.swapaxes(x, 0, 1).reshape((-1,) + x.shape[2:])
+        else:
+            flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        batch_observations = flat(observations)
+        batch_actions = flat(actions)
+        batch_advantages = flat(advantages)
+        batch_returns = flat(returns)
+        batch_log_probs = flat(log_probs)
         batch_observations = mesh_lib.shard_batch(batch_observations, self.mesh)
 
         key, opt_key = jax.random.split(key)
@@ -252,24 +269,50 @@ class PPO:
         grad_loss_fn = jax.value_and_grad(self._loss_fn, argnums=(0, 1), has_aux=True)
 
         # Per-epoch independent permutations, exactly as the reference
-        # (`ppo/flax_full_jit/ppo.py:229-231`) for curve parity.
+        # (`ppo/flax_full_jit/ppo.py:229-231`) for curve parity.  With
+        # shard-local minibatching each dp shard permutes its own slice of the
+        # batch and every minibatch takes an equal cut from each shard, so the
+        # scan's gathers never cross devices (at dp=1 both paths coincide).
         key, perm_key = jax.random.split(key)
-        batch_indices = jnp.tile(jnp.arange(self.batch_size), (self.nr_epochs, 1))
-        batch_indices = jax.random.permutation(perm_key, batch_indices, axis=1, independent=True)
-        batch_indices = batch_indices.reshape((self.nr_epochs * self.nr_minibatches, self.minibatch_size))
+        if self.shard_local_minibatching:
+            dp = self.dp_size
+            rows_per_shard = self.batch_size // dp
+            mb_local = self.minibatch_size // dp
+            batch_indices = jnp.tile(jnp.arange(rows_per_shard), (self.nr_epochs, dp, 1))
+            batch_indices = jax.random.permutation(perm_key, batch_indices, axis=-1, independent=True)
+            batch_indices = batch_indices.reshape(self.nr_epochs, dp, self.nr_minibatches, mb_local)
+            batch_indices = jnp.moveaxis(batch_indices, 1, 2).reshape(
+                (self.nr_epochs * self.nr_minibatches, dp, mb_local)
+            )
+
+            def gather(x, mb_idx):
+                xb = x.reshape((dp, rows_per_shard) + x.shape[1:])
+                ix = mb_idx.reshape((dp, mb_local) + (1,) * (x.ndim - 1))
+                return jnp.take_along_axis(xb, ix, axis=1).reshape(
+                    (self.minibatch_size,) + x.shape[1:]
+                )
+        else:
+            batch_indices = jnp.tile(jnp.arange(self.batch_size), (self.nr_epochs, 1))
+            batch_indices = jax.random.permutation(perm_key, batch_indices, axis=1, independent=True)
+            batch_indices = batch_indices.reshape(
+                (self.nr_epochs * self.nr_minibatches, self.minibatch_size)
+            )
+
+            def gather(x, mb_idx):
+                return x[mb_idx]
 
         def minibatch_update(carry, minibatch_indices):
             policy_state, critic_state = carry
-            mb_advantages = batch_advantages[minibatch_indices]
+            mb_advantages = gather(batch_advantages, minibatch_indices)
             mb_advantages = (mb_advantages - mb_advantages.mean()) / (mb_advantages.std() + 1e-8)
 
             (loss, metrics), (policy_grads, critic_grads) = grad_loss_fn(
                 policy_state.params,
                 critic_state.params,
-                batch_observations[minibatch_indices],
-                batch_actions[minibatch_indices],
-                batch_log_probs[minibatch_indices],
-                batch_returns[minibatch_indices],
+                gather(batch_observations, minibatch_indices),
+                gather(batch_actions, minibatch_indices),
+                gather(batch_log_probs, minibatch_indices),
+                gather(batch_returns, minibatch_indices),
                 mb_advantages,
             )
             policy_state = policy_state.apply_gradients(grads=policy_grads)

@@ -30,7 +30,8 @@ def get_config(algorithm_name):
     config.v_min = -5.0
     config.v_max = 5.0
     config.policy_delay = 3
-    config.use_weight_norm = True  # carried; round-1 nets use plain Dense
+    config.use_weight_norm = True
+    config.normalize_last_layer = True
     config.nr_critics = 2
     config.activation = "relu"
     config.layer_norm = False

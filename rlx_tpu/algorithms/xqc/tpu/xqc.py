@@ -3,9 +3,12 @@
 Parity with `rl_x/algorithms/xqc/flax/xqc.py` (`default_config.py:19-35`):
 twin categorical critics (101 atoms over [-5, 5]) with residual-block
 trunks trained by cross-entropy against Gaussian-smeared scalar targets,
-residual-block policy, policy delay 3, reward normalization.
-(The reference's optional weight-norm parameterization is carried as a
-config flag; round-1 nets use plain Dense.)
+residual-block policy, policy delay 3, reward normalization, and the
+weight-norm parameterization (`xqc/flax/layers.py:38-61`,
+`xqc/flax/xqc.py:117-120,251-252,296-298`): hidden Dense kernels+biases
+are projected back to unit input-norm after init and after every gradient
+step; predictor heads (mean/log_std/value) kernel-only when
+``normalize_last_layer``.
 """
 
 from typing import Sequence
@@ -20,6 +23,7 @@ from rlx_tpu.algorithms.sac.tpu.sac import SAC
 from rlx_tpu.algorithms.xqc.tpu.general_properties import GeneralProperties
 from rlx_tpu.models import distributions as D
 from rlx_tpu.models.layers import SimbaEncoder
+from rlx_tpu.models.weight_norm import weight_norm_params
 from rlx_tpu.ops.distributional import hl_gauss_expectation, hl_gauss_targets
 
 
@@ -36,8 +40,8 @@ class XQCPolicy(nn.Module):
         if self.observation_indices is not None:
             x = x[..., jnp.asarray(self.observation_indices)]
         x = SimbaEncoder(self.hidden_dim, self.nr_blocks)(x)
-        mean = nn.Dense(self.action_dim)(x)
-        log_std = nn.Dense(self.action_dim)(x)
+        mean = nn.Dense(self.action_dim, name="mean")(x)
+        log_std = nn.Dense(self.action_dim, name="log_std")(x)
         log_std = self.log_std_min + (self.log_std_max - self.log_std_min) * 0.5 * (
             1.0 + jnp.tanh(log_std)
         )
@@ -56,7 +60,7 @@ class XQCCritic(nn.Module):
             obs = obs[..., jnp.asarray(self.observation_indices)]
         x = jnp.concatenate([obs, action], axis=-1)
         x = SimbaEncoder(self.hidden_dim, self.nr_blocks)(x)
-        return nn.Dense(self.nr_atoms)(x)
+        return nn.Dense(self.nr_atoms, name="value")(x)
 
 
 class XQCVectorCritic(nn.Module):
@@ -82,6 +86,26 @@ class XQCVectorCritic(nn.Module):
 
 
 class XQC(SAC):
+    def setup_states(self):
+        a = self.config.algorithm
+        self.use_weight_norm = a.use_weight_norm
+        self.normalize_last_layer = a.normalize_last_layer
+        states = super().setup_states()
+        if self.use_weight_norm:
+            for name in ("policy", "critic"):
+                states[name] = states[name].replace(
+                    params=self._weight_norm(states[name].params)
+                )
+            states["critic"] = states["critic"].replace(
+                target_params=self._weight_norm(states["critic"].target_params)
+            )
+        return states
+
+    def _weight_norm(self, params):
+        if not self.use_weight_norm:
+            return params
+        return weight_norm_params(params, normalize_last_layer=self.normalize_last_layer)
+
     def _build_policy(self, a):
         self.policy_delay = a.policy_delay
         return XQCPolicy(
@@ -131,6 +155,7 @@ class XQC(SAC):
             critic_state.params
         )
         critic_state = critic_state.apply_gradients(grads=critic_grads)
+        critic_state = critic_state.replace(params=self._weight_norm(critic_state.params))
         critic_state = critic_state.replace(
             target_params=optax.incremental_update(
                 critic_state.params, critic_state.target_params, self.tau
@@ -158,6 +183,7 @@ class XQC(SAC):
             )
         )
         updated_policy = policy_state.apply_gradients(grads=policy_grads)
+        updated_policy = updated_policy.replace(params=self._weight_norm(updated_policy.params))
         updated_alpha = alpha_state.apply_gradients(grads=alpha_grads)
         do_update = (step % self.policy_delay) == 0
         select = lambda new, old: jax.tree.map(lambda n, o: jnp.where(do_update, n, o), new, old)

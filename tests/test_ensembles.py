@@ -132,3 +132,35 @@ def test_scaled_network_family_trains(algorithm, extra):
         assert np.isfinite(np.asarray(leaf)).all(), algorithm
     returns = model.test(1)
     assert np.isfinite(returns[0])
+
+
+def test_weight_norm_projection_unit_norms():
+    import jax
+    import jax.numpy as jnp
+    import flax.traverse_util
+    from rlx_tpu.algorithms.xqc.tpu.xqc import XQCPolicy
+    from rlx_tpu.models.weight_norm import weight_norm_params
+
+    policy = XQCPolicy(action_dim=3, hidden_dim=16, nr_blocks=2)
+    params = policy.init(jax.random.PRNGKey(0), jnp.zeros((1, 5)))
+    params = jax.tree.map(lambda p: p * 3.7, params)  # knock off unit norm
+    normed = weight_norm_params(params)
+
+    flat = flax.traverse_util.flatten_dict(normed, sep="/")
+    for key, kernel in flat.items():
+        if not key.endswith("/kernel"):
+            continue
+        path = key[: -len("/kernel")]
+        leaf = path.split("/")[-1]
+        if leaf in ("mean", "log_std", "value"):
+            norms = jnp.linalg.norm(kernel, axis=-2)
+        elif "Dense" in leaf:
+            bias = flat[path + "/bias"]
+            norms = jnp.sqrt((kernel**2).sum(-2) + bias**2)
+        else:
+            continue
+        assert jnp.allclose(norms, 1.0, atol=1e-5), key
+    # a LayerNorm scale must be untouched
+    orig_flat = flax.traverse_util.flatten_dict(params, sep="/")
+    ln_keys = [k for k in orig_flat if "LayerNorm" in k]
+    assert ln_keys and all(jnp.array_equal(orig_flat[k], flat[k]) for k in ln_keys)
