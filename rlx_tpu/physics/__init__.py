@@ -24,4 +24,10 @@ bias forces, qacc) in tests/test_physics.py; contact model is soft
 """
 
 from rlx_tpu.physics.model import PhysicsModel, load_mjcf  # noqa: F401
-from rlx_tpu.physics.engine import forward_dynamics, step  # noqa: F401
+from rlx_tpu.physics.engine import (  # noqa: F401
+    DomainParams,
+    Terrain,
+    forward_dynamics,
+    step,
+    terrain_height_T,
+)

@@ -36,12 +36,63 @@ intentional departure from MuJoCo's solver (soft penalty, brax-style) —
 solver-based contact does not map onto fused TPU batch programs.
 """
 
+from typing import NamedTuple, Optional
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from rlx_tpu.physics import batched as bl
 from rlx_tpu.physics.model import FREE, HINGE, PhysicsModel
+
+
+class DomainParams(NamedTuple):
+    """Per-env runtime physics randomization (batch-last, ``[..., B]``).
+
+    TPU-native replacement for the reference's per-env mjx_model rewrites
+    (`robot_locomotion/mjx/domain_randomization/*`): instead of carrying a
+    whole randomized model pytree per env, the engine consumes small per-env
+    multiplier arrays that enter the dynamics as elementwise scales — free
+    next to the [nv, nv, B] mass-matrix work.  Every field is optional;
+    ``None`` means "use the compiled constant".
+    """
+
+    mass_scale: Optional[jax.Array] = None          # [nbody, B] inertia+mass
+    damping_scale: Optional[jax.Array] = None       # [B] joint damping
+    frictionloss_scale: Optional[jax.Array] = None  # [B] dry friction
+    armature_scale: Optional[jax.Array] = None      # [B] rotor armature
+    friction_scale: Optional[jax.Array] = None      # [B] contact friction mu
+    contact_stiffness_scale: Optional[jax.Array] = None  # [B] penalty omega
+    kp_scale: Optional[jax.Array] = None            # [nu, B] P gain
+    kv_scale: Optional[jax.Array] = None            # [nu, B] D gain
+    forcerange_scale: Optional[jax.Array] = None    # [nu, B] torque limit
+    ctrl_offset: Optional[jax.Array] = None         # [nu, B] servo zero shift
+    gravity: Optional[jax.Array] = None             # [3, B] gravity vector
+
+
+class Terrain(NamedTuple):
+    """Per-env square heightfield for ground contact (batch-last).
+
+    ``height`` is ``[n*n, B]`` (row-major ``[iy, ix]``), covering
+    x,y in ``[-half_extent_m, half_extent_m]``; lookups are nearest-cell like
+    the reference hfield (`robot_locomotion/mjx/terrain_functions/
+    hfield_diverse.py:69-72`).  ``None`` terrain = plane z=0.
+    """
+
+    height: jax.Array
+    n: int
+    half_extent_m: float
+
+
+def terrain_height_T(terrain: Terrain, x, y):
+    """Nearest-cell terrain height at world (x, y); inputs/outputs [..., B]."""
+    n = terrain.n
+    cells_per_m = n / (2.0 * terrain.half_extent_m)
+    ix = jnp.clip(jnp.round(x * cells_per_m + n // 2).astype(jnp.int32), 0, n - 1)
+    iy = jnp.clip(jnp.round(y * cells_per_m + n // 2).astype(jnp.int32), 0, n - 1)
+    flat = (iy * n + ix).reshape(-1, x.shape[-1])                 # [K, B]
+    h = jnp.take_along_axis(terrain.height, flat, axis=0)         # [K, B]
+    return h.reshape(x.shape)
 
 
 def _ancestor_masks(model: PhysicsModel) -> np.ndarray:
@@ -169,7 +220,7 @@ def mass_matrix_bias(model: PhysicsModel, qpos, qvel):
     return jnp.transpose(M, (2, 0, 1)), C.T
 
 
-def _dynamics_T(model: PhysicsModel, qposT, qvelT):
+def _dynamics_T(model: PhysicsModel, qposT, qvelT, dr: Optional[DomainParams] = None):
     """Core: returns (M [nv, nv, B], C [nv, B], Rs, ps, v list, cols)."""
     B = qposT.shape[-1]
     masks = _ancestor_masks(model)
@@ -177,7 +228,10 @@ def _dynamics_T(model: PhysicsModel, qposT, qvelT):
     cols = _jacobian_columns_T(model, Rs, ps)  # [nv, 6, B]
 
     g = np.asarray(model.gravity)
-    zeta0 = jnp.concatenate([jnp.zeros((3, B)), jnp.broadcast_to((-g.astype(np.float32))[:, None], (3, B))])
+    if dr is not None and dr.gravity is not None:
+        zeta0 = jnp.concatenate([jnp.zeros((3, B)), -dr.gravity])
+    else:
+        zeta0 = jnp.concatenate([jnp.zeros((3, B)), jnp.broadcast_to((-g.astype(np.float32))[:, None], (3, B))])
 
     M = jnp.zeros((model.nv, model.nv, B))
     C = jnp.zeros((model.nv, B))
@@ -205,6 +259,8 @@ def _dynamics_T(model: PhysicsModel, qposT, qvelT):
         zeta_list[i] = zeta_i
 
         I_w = _spatial_inertia_T(model, i, Rs[i], ps[i])  # [6, 6, B]
+        if dr is not None and dr.mass_scale is not None:
+            I_w = I_w * dr.mass_scale[i]
 
         # masked Jacobian of body i: J6 [6, nv, B]
         J6 = bl.transpose(cols) * masks[i][None, :, None]
@@ -216,24 +272,37 @@ def _dynamics_T(model: PhysicsModel, qposT, qvelT):
         f_bias = bl.matvec(I_w, zeta_i) + bl.matvec(crf, Iv)
         C = C + (bl.transpose(J6) * f_bias[None, :, :]).sum(1)
 
-    M = M + np.diag(model.dof_armature).astype(np.float32)[:, :, None]
+    armature = np.diag(model.dof_armature).astype(np.float32)[:, :, None]
+    if dr is not None and dr.armature_scale is not None:
+        armature = armature * dr.armature_scale
+    M = M + armature
     return M, C, Rs, ps, v_list, cols
 
 
-def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contact_dampratio):
-    """Generalized contact torques [nv, B] from penalty plane contacts."""
+def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contact_dampratio,
+                   dr: Optional[DomainParams] = None, terrain: Optional[Terrain] = None):
+    """Generalized contact torques [nv, B] from penalty ground contacts.
+
+    Ground is the plane z=0, or a per-env heightfield when ``terrain`` is
+    given (contact normal stays vertical — a penalty-model approximation
+    that matches the reference's reward-side ground queries and is accurate
+    for the mild slopes the terrain generator emits).
+    """
     B = ps[0].shape[-1]
     tau = jnp.zeros((model.nv, B))
     if len(model.con_body) == 0:
         return tau
     omega_c = 1.0 / contact_timeconst
+    if dr is not None and dr.contact_stiffness_scale is not None:
+        omega_c = omega_c * dr.contact_stiffness_scale
     for c in range(len(model.con_body)):
         b = int(model.con_body[c])
         m_eff = float(model.con_meff[c])
         stiffness = m_eff * omega_c**2
         damping = 2.0 * contact_dampratio * m_eff * omega_c
         x = ps[b] + bl.matvec_const(Rs[b], np.asarray(model.con_pos[c]))  # [3, B]
-        depth = float(model.con_radius[c]) - x[2]
+        ground = terrain_height_T(terrain, x[0], x[1]) if terrain is not None else 0.0
+        depth = float(model.con_radius[c]) - (x[2] - ground)
         in_contact = depth > 0.0
         omega, v_o = v_list[b][:3], v_list[b][3:]
         v_pt = v_o + bl.cross(omega, x)
@@ -241,6 +310,8 @@ def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contac
         fn = jnp.maximum(fn, 0.0)
         vt_norm = jnp.sqrt(v_pt[0] ** 2 + v_pt[1] ** 2)
         mu = float(model.con_friction[c])
+        if dr is not None and dr.friction_scale is not None:
+            mu = mu * dr.friction_scale
         scale = -mu * fn / (vt_norm + 1e-3)
         f = jnp.stack([scale * v_pt[0], scale * v_pt[1], fn])  # [3, B]
         F = jnp.concatenate([bl.cross(x, f), f])               # [6, B]
@@ -251,44 +322,84 @@ def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contac
 
 def forward_dynamics(model: PhysicsModel, qpos, qvel, ctrl,
                      contact_timeconst=0.015, contact_dampratio=1.0,
-                     limit_stiffness=200.0, include_contacts=True):
+                     limit_stiffness=200.0, include_contacts=True,
+                     dr=None, terrain=None):
     """Batched qacc [B, nv].  Public API is batch-first; internals batch-last."""
     qaccT = _forward_dynamics_T(
         model, qpos.T, qvel.T, ctrl.T,
         contact_timeconst, contact_dampratio, limit_stiffness, include_contacts,
+        dr, terrain,
     )
     return qaccT.T, None
 
 
-def _forward_dynamics_T(model, qposT, qvelT, ctrlT,
-                        contact_timeconst, contact_dampratio, limit_stiffness,
-                        include_contacts):
-    M, C, Rs, ps, v_list, cols = _dynamics_T(model, qposT, qvelT)
-    masks = _ancestor_masks(model)
+def actuator_forces_T(model, qposT, qvelT, ctrlT, dr: Optional[DomainParams] = None):
+    """Per-actuator joint forces [nu, B] (clip(kp de - kv qd) or motor torque).
 
-    tau = jnp.zeros_like(C)
-    if include_contacts and len(model.con_body) > 0:
-        tau = tau + _contact_tau_T(
-            model, Rs, ps, v_list, cols, masks, contact_timeconst, contact_dampratio
-        )
-
-    # actuators
+    Recomputes what the reference reads from ``data.qfrc_actuator``
+    (`robot_locomotion/mjx/reward_functions/default.py:141`) — cheap
+    elementwise work, so the env's torque/power penalties don't need the
+    engine to carry extra state."""
+    if len(model.act_dof) == 0:
+        return jnp.zeros((0, qposT.shape[-1]))
+    forces = []
     for a in range(len(model.act_dof)):
         d = int(model.act_dof[a])
         body = int(model.act_joint_body[a])
         qa = int(model.qpos_adr[body])
         gear = float(model.act_gear[a])
         if bool(model.act_is_position[a]):
-            force = float(model.act_kp[a]) * (ctrlT[a] - qposT[qa]) - float(model.act_kv[a]) * qvelT[d]
+            kp = float(model.act_kp[a])
+            kv = float(model.act_kv[a])
+            if dr is not None and dr.kp_scale is not None:
+                kp = kp * dr.kp_scale[a]
+            if dr is not None and dr.kv_scale is not None:
+                kv = kv * dr.kv_scale[a]
+            target = ctrlT[a]
+            if dr is not None and dr.ctrl_offset is not None:
+                target = target + dr.ctrl_offset[a]
+            force = kp * (target - qposT[qa]) - kv * qvelT[d]
         else:
             force = ctrlT[a] * gear
         lo, hi = model.act_forcerange[a]
-        force = jnp.clip(force, float(lo), float(hi))
-        tau = tau.at[d].add(force * (gear if bool(model.act_is_position[a]) else 1.0))
+        if dr is not None and dr.forcerange_scale is not None:
+            lo, hi = float(lo) * dr.forcerange_scale[a], float(hi) * dr.forcerange_scale[a]
+        else:
+            lo, hi = float(lo), float(hi)
+        force = jnp.clip(force, lo, hi)
+        forces.append(force)
+    return jnp.stack(forces)
+
+
+def _forward_dynamics_T(model, qposT, qvelT, ctrlT,
+                        contact_timeconst, contact_dampratio, limit_stiffness,
+                        include_contacts, dr=None, terrain=None):
+    M, C, Rs, ps, v_list, cols = _dynamics_T(model, qposT, qvelT, dr)
+    masks = _ancestor_masks(model)
+
+    tau = jnp.zeros_like(C)
+    if include_contacts and len(model.con_body) > 0:
+        tau = tau + _contact_tau_T(
+            model, Rs, ps, v_list, cols, masks, contact_timeconst, contact_dampratio,
+            dr, terrain,
+        )
+
+    # actuators
+    act_force = actuator_forces_T(model, qposT, qvelT, ctrlT, dr)
+    for a in range(len(model.act_dof)):
+        d = int(model.act_dof[a])
+        gear = float(model.act_gear[a])
+        tau = tau.at[d].add(act_force[a] * (gear if bool(model.act_is_position[a]) else 1.0))
 
     # passive: damping, smooth dry friction, joint limits
-    tau = tau - np.asarray(model.dof_damping)[:, None] * qvelT
-    tau = tau - np.asarray(model.dof_frictionloss)[:, None] * jnp.tanh(qvelT / 0.05)
+    damping = np.asarray(model.dof_damping)[:, None]
+    frictionloss = np.asarray(model.dof_frictionloss)[:, None]
+    if dr is not None and dr.damping_scale is not None:
+        damping = damping * dr.damping_scale
+    if dr is not None and dr.frictionloss_scale is not None:
+        frictionloss = frictionloss * dr.frictionloss_scale
+    tau = tau - damping * qvelT
+    tau = tau - frictionloss * jnp.tanh(qvelT / 0.05)
     for i in range(model.nbody):
         if int(model.jnt_type[i]) == HINGE and bool(model.jnt_limited[i]):
             qa, d = int(model.qpos_adr[i]), int(model.dof_adr[i])
@@ -317,20 +428,31 @@ def _integrate_T(model, qposT, qvelT, qaccT, dt):
 
 
 def step(model: PhysicsModel, qpos, qvel, ctrl, nr_substeps=1,
-         contact_timeconst=0.015, contact_dampratio=1.0, limit_stiffness=200.0):
-    """Advance ``nr_substeps`` timesteps of ``model.timestep`` each."""
-    dt = model.timestep
-    ctrlT = ctrl.T
+         contact_timeconst=0.015, contact_dampratio=1.0, limit_stiffness=200.0,
+         dr=None, terrain=None, ctrl_sequence=None):
+    """Advance ``nr_substeps`` timesteps of ``model.timestep`` each.
 
-    def substep(carry, _):
+    ``ctrl_sequence`` (optional, [nr_substeps, B, nu]) supplies a different
+    control per substep — used for action-delay domain randomization
+    (`robot_locomotion/mjx/environment.py:405-412` feeds per-substep delayed
+    actions); otherwise ``ctrl`` [B, nu] is held for all substeps.
+    """
+    dt = model.timestep
+
+    def substep(carry, ctrlT):
         qposT, qvelT = carry
         qaccT = _forward_dynamics_T(
             model, qposT, qvelT, ctrlT,
             contact_timeconst, contact_dampratio, limit_stiffness, True,
+            dr, terrain,
         )
         return _integrate_T(model, qposT, qvelT, qaccT, dt), None
 
-    (qposT, qvelT), _ = jax.lax.scan(substep, (qpos.T, qvel.T), None, nr_substeps)
+    if ctrl_sequence is not None:
+        xs = jnp.swapaxes(ctrl_sequence, 1, 2)  # [nr_substeps, nu, B]
+    else:
+        xs = jnp.broadcast_to(ctrl.T[None], (nr_substeps,) + ctrl.T.shape)
+    (qposT, qvelT), _ = jax.lax.scan(substep, (qpos.T, qvel.T), xs)
     return qposT.T, qvelT.T
 
 

@@ -157,3 +157,81 @@ def test_free_fall_matches_gravity():
     # at rest with zero ctrl, base linear acceleration ~ gravity (internal
     # joint damping is zero at rest)
     np.testing.assert_allclose(np.asarray(qacc[0, :3]), [0, 0, -9.81], atol=1e-2)
+
+
+BALL_XML = """
+<mujoco model="ball">
+  <option timestep="0.005"/>
+  <worldbody>
+    <body name="ball" pos="0 0 0.5">
+      <joint type="free"/>
+      <geom name="b" type="sphere" size="0.1" density="1000"/>
+    </body>
+  </worldbody>
+</mujoco>
+"""
+
+
+def test_domain_params_mass_and_gravity():
+    model = load_mjcf(xml_string=BALL_XML)
+    B = 4
+    qpos = jnp.tile(jnp.asarray(model.qpos0)[None], (B, 1))
+    qvel = jnp.zeros((B, model.nv))
+    ctrl = jnp.zeros((B, 0))
+
+    # mass scaling leaves free fall unchanged (gravity is mass-independent)
+    dr = engine.DomainParams(mass_scale=jnp.ones((model.nbody, B)) * 2.0)
+    qacc, _ = engine.forward_dynamics(model, qpos, qvel, ctrl, include_contacts=False, dr=dr)
+    np.testing.assert_allclose(np.asarray(qacc[:, 2]), -9.81, rtol=1e-4)
+
+    # per-env gravity override changes the z acceleration per env
+    gz = jnp.asarray([-9.81, -4.0, -1.0, 0.0])
+    gravity = jnp.stack([jnp.zeros(B), jnp.zeros(B), gz])
+    qacc, _ = engine.forward_dynamics(
+        model, qpos, qvel, ctrl, include_contacts=False,
+        dr=engine.DomainParams(gravity=gravity),
+    )
+    np.testing.assert_allclose(np.asarray(qacc[:, 2]), np.asarray(gz), rtol=1e-4, atol=1e-5)
+
+
+def test_terrain_rest_height_tracks_heightfield():
+    model = load_mjcf(xml_string=BALL_XML)
+    B = 2
+    n, half = 16, 2.0
+    # env 0: flat ground at 0; env 1: plateau at 0.3 m everywhere
+    height = jnp.stack([jnp.zeros(n * n), jnp.full((n * n,), 0.3)], axis=-1)
+    terrain = engine.Terrain(height=height, n=n, half_extent_m=half)
+
+    h = engine.terrain_height_T(terrain, jnp.zeros((1, B)), jnp.zeros((1, B)))
+    np.testing.assert_allclose(np.asarray(h[0]), [0.0, 0.3], atol=1e-6)
+
+    qpos = jnp.tile(jnp.asarray(model.qpos0)[None], (B, 1))
+    qpos = qpos.at[:, 2].set(jnp.asarray([0.5, 0.8]))
+    qvel = jnp.zeros((B, model.nv))
+    ctrl = jnp.zeros((B, 0))
+
+    def body(carry, _):
+        qpos, qvel = carry
+        return engine.step(model, qpos, qvel, ctrl, nr_substeps=1, terrain=terrain), None
+
+    (qpos, qvel), _ = jax.lax.scan(body, (qpos, qvel), None, 600)
+    rest_z = np.asarray(qpos[:, 2])
+    # each ball should rest ~one radius above its local ground
+    assert abs(rest_z[0] - 0.1) < 0.03, rest_z
+    assert abs(rest_z[1] - 0.4) < 0.03, rest_z
+
+
+def test_ctrl_sequence_substeps_match_manual_stepping():
+    model = load_mjcf(xml_string=TEST_XML)
+    B = 3
+    rng = np.random.default_rng(0)
+    qpos = jnp.tile(jnp.asarray(model.qpos0)[None], (B, 1))
+    qvel = jnp.asarray(rng.normal(size=(B, model.nv)) * 0.1, dtype=jnp.float32)
+    ctrls = jnp.asarray(rng.normal(size=(4, B, 3)), dtype=jnp.float32)
+
+    qp1, qv1 = engine.step(model, qpos, qvel, ctrls[0], nr_substeps=4, ctrl_sequence=ctrls)
+    qp2, qv2 = qpos, qvel
+    for k in range(4):
+        qp2, qv2 = engine.step(model, qp2, qv2, ctrls[k], nr_substeps=1)
+    np.testing.assert_allclose(np.asarray(qp1), np.asarray(qp2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(qv1), np.asarray(qv2), atol=1e-5)
