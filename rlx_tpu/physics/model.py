@@ -66,6 +66,13 @@ class PhysicsModel(NamedTuple):
     con_radius: np.ndarray     # [ncon]
     con_friction: np.ndarray   # [ncon] tangential friction coefficient
     con_meff: np.ndarray       # [ncon] effective mass for penalty-gain scaling
+    # geom table (ALL geoms incl. visual-only; for env-side FK queries of
+    # named feet / collision spheres — reward shaping, not dynamics)
+    geom_name: tuple           # [ngeom] static names ('' if unnamed)
+    geom_body: np.ndarray      # [ngeom] movable-body index (-1 = world)
+    geom_pos: np.ndarray       # [ngeom, 3] offset in body frame
+    geom_size: np.ndarray      # [ngeom, 3]
+    geom_group: np.ndarray     # [ngeom]
     # options
     timestep: float
     gravity: np.ndarray        # [3]
@@ -235,6 +242,13 @@ def load_mjcf(xml_path: Optional[str] = None, xml_string: Optional[str] = None,
             if len(con_body)
             else np.zeros(0)
         ),
+        geom_name=tuple(
+            (mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g) or "") for g in range(m.ngeom)
+        ),
+        geom_body=np.asarray(m.geom_bodyid, dtype=np.int32) - 1,
+        geom_pos=f32(m.geom_pos),
+        geom_size=f32(m.geom_size),
+        geom_group=np.asarray(m.geom_group, dtype=np.int32),
         timestep=float(m.opt.timestep),
         gravity=f32(m.opt.gravity),
         qpos0=f32(qpos0),
