@@ -33,6 +33,10 @@ def get_config(algorithm_name):
     config.enable_observation_normalization = True
     config.enable_reward_normalization = True
     config.nr_critics = 2
+    # Hypersphere layers normalize weights by construction; the explicit XQC
+    # weight-norm projection (inherited via XQC.setup_states) stays off.
+    config.use_weight_norm = False
+    config.normalize_last_layer = False
     config.activation = "relu"
     config.layer_norm = False
     config.shard_local_sampling = True
