@@ -148,6 +148,34 @@ def test_robot_domain_randomization_varies_across_envs(env):
     assert varied >= 2, "domain randomization produced identical envs"
 
 
+def test_biped_robot_stands_and_steps():
+    """The 10-DoF biped (reference: unitree_g1 robot def) stands under PD
+    at the home keyframe and stays finite under random actions."""
+    env = _make_env(
+        nr_envs=4,
+        **{"environment.robot": "biped", "environment.episode_length_in_seconds": 2},
+    )
+    assert env.single_action_space.shape == (10,)
+    assert env.nr_feet == 4  # heel + toe spheres per foot
+    # symmetry pairing is left<->right: heel-heel and toe-toe
+    pairs = {tuple(p) for p in env.feet_symmetry_pairs.tolist()}
+    assert pairs == {(0, 2), (1, 3)}
+
+    state = env.reset(jax.random.PRNGKey(0))
+    jit_step = jax.jit(env.step)
+    nu = env.single_action_space.shape[0]
+    for _ in range(50):  # 1 s of standing at nominal targets
+        state = jit_step(state, jnp.zeros((4, nu)))
+    assert not np.asarray(state.terminated).any()
+    assert (np.asarray(state.physics["qpos"][:, 2]) > 0.45).all()
+
+    key = jax.random.PRNGKey(1)
+    for _ in range(50):
+        key, akey = jax.random.split(key)
+        state = jit_step(state, jax.random.uniform(akey, (4, nu), minval=-1.0, maxval=1.0))
+    assert np.isfinite(np.asarray(state.observation)).all()
+
+
 def test_ppo_on_robot_mesh_smoke():
     config = make_config(
         "ppo.tpu",
