@@ -45,13 +45,18 @@ class OffPolicyAlgorithm:
         self.total_timesteps = int(a.total_timesteps)
         self.nr_envs = config.environment.nr_envs
         self.learning_rate = a.learning_rate
-        self.buffer_size = int(a.buffer_size)
+        self.buffer_size = int(getattr(a, "buffer_size", 0))
         self.learning_starts = int(a.learning_starts)
         self.batch_size = a.batch_size
         self.gamma = a.gamma
         self.tau = getattr(a, "tau", 0.005)
         self.logging_frequency = int(a.logging_frequency)
         self.evaluation_active = a.evaluation_active
+
+        # FastTD3-family sizing: buffer capacity and learning starts scale
+        # with nr_envs (`fastmpo/flax_full_jit/default_config.py:46-48`).
+        if int(getattr(a, "learning_starts_per_env", 0)) > 0:
+            self.learning_starts = int(a.learning_starts_per_env) * self.nr_envs
 
         self.total_training_timesteps = self.total_timesteps - self.learning_starts
         self.eval_save_frequency = a.evaluation_and_save_frequency
@@ -60,7 +65,10 @@ class OffPolicyAlgorithm:
         self.nr_eval_save_iterations = max(self.total_training_timesteps // self.eval_save_frequency, 1)
         self.nr_loggings_per_eval_save_iteration = max(self.eval_save_frequency // self.logging_frequency, 1)
         self.nr_updates_per_logging_iteration = max(self.logging_frequency // self.nr_envs, 1)
-        self.capacity = max(self.buffer_size // self.nr_envs, 1)
+        if int(getattr(a, "buffer_size_per_env", 0)) > 0:
+            self.capacity = int(a.buffer_size_per_env)
+        else:
+            self.capacity = max(self.buffer_size // self.nr_envs, 1)
         self.prefill_iterations = (
             int(np.ceil(self.learning_starts / self.nr_envs)) if self.learning_starts > 0 else 0
         )
@@ -95,6 +103,31 @@ class OffPolicyAlgorithm:
         self.key = jax.random.PRNGKey(self.seed)
         if self.discrete:
             self.process_action = lambda a: a
+        elif hasattr(a, "action_rescaling"):
+            # Fast-family action pipeline: optional clip, then "none" /
+            # "normal" / "fastsac" rescaling
+            # (`fastmpo/flax_full_jit/policy.py:128-138`).
+            space = train_env.single_action_space
+            low, high = jnp.asarray(space.low), jnp.asarray(space.high)
+            clip = bool(getattr(a, "action_clipping", True))
+            mode = a.action_rescaling
+            if mode == "fastsac":
+                center = jnp.asarray(getattr(space, "center", (low + high) / 2.0))
+                scale = jnp.asarray(getattr(space, "scale", (high - low) / 2.0))
+                action_scale = jnp.maximum(jnp.abs(low - center), jnp.abs(high - center)) / scale
+            else:
+                action_scale = None
+
+            def process(action):
+                if clip:
+                    action = jnp.clip(action, -1.0, 1.0)
+                if mode == "normal":
+                    action = low + 0.5 * (action + 1.0) * (high - low)
+                elif mode == "fastsac":
+                    action = action * action_scale
+                return action
+
+            self.process_action = process
         else:
             self.process_action = get_processed_action_function(
                 True, train_env.single_action_space.low, train_env.single_action_space.high

@@ -24,6 +24,7 @@ ACTIVATIONS = {
     "elu": nn.elu,
     "gelu": nn.gelu,
     "swish": nn.swish,
+    "silu": nn.silu,
 }
 
 
@@ -221,6 +222,7 @@ class QCritic(nn.Module):
     orthogonal_init: bool = False
     observation_indices: Sequence[int] = None
     dropout_rate: float = 0.0  # DroQ-style Dense -> Dropout -> LayerNorm -> act
+    layer_norm_all: bool = False
 
     @nn.compact
     def __call__(self, obs, action):
@@ -236,7 +238,8 @@ class QCritic(nn.Module):
                 x = act(x)
         else:
             x = MLP(self.hidden_sizes, self.activation, self.layer_norm,
-                    orthogonal_init=self.orthogonal_init)(x)
+                    orthogonal_init=self.orthogonal_init,
+                    layer_norm_all=self.layer_norm_all)(x)
         if self.orthogonal_init:
             return nn.Dense(self.output_dim, kernel_init=orthogonal(1.0), bias_init=constant(0.0))(x)
         return nn.Dense(self.output_dim)(x)
@@ -255,6 +258,7 @@ class VectorQCritic(nn.Module):
     orthogonal_init: bool = False
     observation_indices: Sequence[int] = None
     dropout_rate: float = 0.0
+    layer_norm_all: bool = False
 
     @nn.compact
     def __call__(self, obs, action):
@@ -269,6 +273,7 @@ class VectorQCritic(nn.Module):
         return ensemble(
             self.hidden_sizes, self.activation, self.layer_norm, self.output_dim,
             self.orthogonal_init, self.observation_indices, self.dropout_rate,
+            self.layer_norm_all,
         )(obs, action)
 
 
