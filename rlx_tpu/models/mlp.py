@@ -168,12 +168,16 @@ class GaussianPolicy(nn.Module):
     layer_norm: bool = False
     std_dev: float = 1.0
     observation_indices: Sequence[int] = None
+    vision: bool = False  # NatureCNN encoder for IMAGES observations
 
     @nn.compact
     def __call__(self, x):
-        if self.observation_indices is not None:
-            x = x[..., jnp.asarray(self.observation_indices)]
-        x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
+        if self.vision:
+            x = NatureCNN()(x)
+        else:
+            if self.observation_indices is not None:
+                x = x[..., jnp.asarray(self.observation_indices)]
+            x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
         mean = nn.Dense(self.action_dim, kernel_init=orthogonal(0.01), bias_init=constant(0.0))(x)
         logstd = self.param("policy_logstd", constant(float(np.log(self.std_dev))), (1, self.action_dim))
         return mean, logstd
@@ -187,12 +191,16 @@ class CategoricalPolicy(nn.Module):
     activation: str = "tanh"
     layer_norm: bool = False
     observation_indices: Sequence[int] = None
+    vision: bool = False
 
     @nn.compact
     def __call__(self, x):
-        if self.observation_indices is not None:
-            x = x[..., jnp.asarray(self.observation_indices)]
-        x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
+        if self.vision:
+            x = NatureCNN()(x)
+        else:
+            if self.observation_indices is not None:
+                x = x[..., jnp.asarray(self.observation_indices)]
+            x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
         return nn.Dense(self.nr_actions, kernel_init=orthogonal(0.01), bias_init=constant(0.0))(x)
 
 
@@ -203,12 +211,16 @@ class VCritic(nn.Module):
     activation: str = "tanh"
     layer_norm: bool = False
     observation_indices: Sequence[int] = None
+    vision: bool = False
 
     @nn.compact
     def __call__(self, x):
-        if self.observation_indices is not None:
-            x = x[..., jnp.asarray(self.observation_indices)]
-        x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
+        if self.vision:
+            x = NatureCNN()(x)
+        else:
+            if self.observation_indices is not None:
+                x = x[..., jnp.asarray(self.observation_indices)]
+            x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
         return nn.Dense(1, kernel_init=orthogonal(1.0), bias_init=constant(0.0))(x)
 
 

@@ -34,8 +34,9 @@ def make_policy(config, env):
     """Build the policy adapter for ``env`` from ``config.algorithm``."""
     action_space_type = env.general_properties.action_space_type
     observation_space_type = env.general_properties.observation_space_type
-    if observation_space_type != ObservationSpaceType.FLAT_VALUES:
-        raise NotImplementedError("image observations: use the dqn/cnn track")
+    # IMAGES: NatureCNN encoder feeding the same heads — re-covers the
+    # reference's pytorch-only image PPO (`ppo/pytorch/policy.py:33-203`).
+    vision = observation_space_type == ObservationSpaceType.IMAGES
 
     hidden = tuple(config.algorithm.policy_hidden_sizes)
     activation = config.algorithm.activation
@@ -51,6 +52,7 @@ def make_policy(config, env):
             layer_norm=layer_norm,
             std_dev=config.algorithm.std_dev,
             observation_indices=obs_indices,
+            vision=vision,
         )
         process = get_processed_action_function(
             config.algorithm.action_clipping_and_rescaling,
@@ -80,6 +82,7 @@ def make_policy(config, env):
             activation=activation,
             layer_norm=layer_norm,
             observation_indices=obs_indices,
+            vision=vision,
         )
         process = lambda a: a
 
@@ -108,4 +111,5 @@ def make_critic(config, env):
         activation=config.algorithm.activation,
         layer_norm=config.algorithm.layer_norm,
         observation_indices=obs_indices,
+        vision=env.general_properties.observation_space_type == ObservationSpaceType.IMAGES,
     )

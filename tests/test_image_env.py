@@ -33,6 +33,57 @@ def test_pixel_grid_renders_and_terminates():
         raise AssertionError("scripted agent never reached the goal")
 
 
+def test_ppo_cnn_on_pixel_grid():
+    """Image-observation on-policy track: PPO with the NatureCNN encoder on
+    both the policy and the critic (re-covers the reference's image PPO,
+    `rl_x/algorithms/ppo/pytorch/policy.py:33-203`)."""
+    from rlx_tpu.config import create_model, make_config
+
+    config = make_config(
+        "ppo.tpu",
+        "classic.pixel_grid.tpu",
+        **{
+            "algorithm.total_timesteps": 2 * 8 * 8,
+            "algorithm.nr_steps": 8,
+            "algorithm.minibatch_size": 16,
+            "algorithm.nr_epochs": 2,
+            "environment.nr_envs": 8,
+            "runner.mesh_dp": -1,
+        },
+    )
+    model = create_model(config)
+    paths = [jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_flatten_with_path(model.policy_state.params)[0]]
+    assert any("Conv" in p for p in paths), "policy should use the CNN encoder"
+    cpaths = [jax.tree_util.keystr(p) for p, _ in
+              jax.tree_util.tree_flatten_with_path(model.critic_state.params)[0]]
+    assert any("Conv" in p for p in cpaths), "critic should use the CNN encoder"
+    model.train()
+    for leaf in jax.tree.leaves(model.policy_state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_pqn_cnn_on_pixel_grid():
+    from rlx_tpu.config import create_model, make_config
+
+    config = make_config(
+        "pqn.tpu",
+        "classic.pixel_grid.tpu",
+        **{
+            "algorithm.total_timesteps": 2 * 8 * 8,
+            "algorithm.nr_steps": 8,
+            "algorithm.nr_minibatches": 2,
+            "algorithm.nr_epochs": 1,
+            "environment.nr_envs": 8,
+            "runner.mesh_dp": -1,
+        },
+    )
+    model = create_model(config)
+    model.train()
+    for leaf in jax.tree.leaves(model.critic_state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
 def test_dqn_cnn_on_pixel_grid():
     from rlx_tpu.config import create_model, make_config
 
