@@ -29,8 +29,15 @@ def make_config(algorithm_name, environment_name, implementation_package_names=(
     """Build the merged config; ``overrides`` use dotted keys, e.g.
     ``make_config("ppo.tpu", "classic.pendulum.tpu", **{"algorithm.nr_steps": 16})``.
     """
-    import_for("algorithms", algorithm_name, implementation_package_names)
-    import_for("environments", environment_name, implementation_package_names)
+    from rlx_tpu.algorithms.algorithm_manager import registered_algorithm_names
+    from rlx_tpu.environments.environment_manager import registered_environment_names
+
+    # already-registered names (e.g. registered directly by tests or
+    # embedding code) need no module import
+    if algorithm_name not in registered_algorithm_names():
+        import_for("algorithms", algorithm_name, implementation_package_names)
+    if environment_name not in registered_environment_names():
+        import_for("environments", environment_name, implementation_package_names)
 
     config = config_dict.ConfigDict()
     config.runner = get_runner_config()

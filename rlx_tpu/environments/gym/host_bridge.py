@@ -52,12 +52,15 @@ class HostGymEnv:
     """
 
     def __init__(self, env_id, nr_envs, seed=0, env_kwargs=None,
-                 async_workers=0, async_skip_percentage=0.0):
+                 async_workers=0, async_skip_percentage=0.0, env_fns=None):
         import gymnasium as gym
 
         self.env_id = env_id
         self.nr_envs = nr_envs
-        self._envs = [gym.make(env_id, **(env_kwargs or {})) for _ in range(nr_envs)]
+        if env_fns is not None:  # factory path (e.g. wrapped Atari stacks)
+            self._envs = [fn() for fn in env_fns]
+        else:
+            self._envs = [gym.make(env_id, **(env_kwargs or {})) for _ in range(nr_envs)]
         self._seed = seed
         self._episode_return = np.zeros(nr_envs)
         self._episode_length = np.zeros(nr_envs)
@@ -74,6 +77,9 @@ class HostGymEnv:
         env0 = self._envs[0]
         obs_space = env0.observation_space
         act_space = env0.action_space
+        # uint8 image observations stay uint8 across the bridge (4x fewer
+        # transfer bytes); networks normalize to float on device.
+        self._obs_dtype = np.uint8 if obs_space.dtype == np.uint8 else np.float32
         self.single_observation_space = BoxSpace(
             low=np.asarray(obs_space.low, np.float32),
             high=np.asarray(obs_space.high, np.float32),
@@ -104,7 +110,7 @@ class HostGymEnv:
         self._episode_return[:] = 0.0
         self._episode_length[:] = 0.0
         self._last_stats[:] = 0.0
-        out = np.asarray(observations, np.float32)
+        out = np.asarray(observations, self._obs_dtype)
         self._last_obs = out.copy()
         return out
 
@@ -112,8 +118,8 @@ class HostGymEnv:
         if self._pool is not None:
             return self._host_step_async(actions)
         actions = np.asarray(actions)
-        obs_out = np.empty(self._obs_shape, np.float32)
-        final_out = np.empty(self._obs_shape, np.float32)
+        obs_out = np.empty(self._obs_shape, self._obs_dtype)
+        final_out = np.empty(self._obs_shape, self._obs_dtype)
         reward = np.empty(self.nr_envs, np.float32)
         terminated = np.empty(self.nr_envs, bool)
         truncated = np.empty(self.nr_envs, bool)
@@ -121,7 +127,7 @@ class HostGymEnv:
             action = actions[i]
             if self._discrete:
                 action = int(action)
-            obs, r, term, trunc, _ = env.step(action)
+            obs, r, term, trunc, info = env.step(action)
             final_out[i] = obs
             reward[i] = r
             terminated[i] = term
@@ -129,7 +135,13 @@ class HostGymEnv:
             self._episode_return[i] += r
             self._episode_length[i] += 1
             if term or trunc:
-                self._last_stats[i] = (self._episode_return[i], self._episode_length[i])
+                # wrapper-level stats (raw return before clipping/life
+                # splits, e.g. Atari EpisodeStatistics) win over the
+                # bridge's accumulator
+                self._last_stats[i] = (
+                    info.get("episode_return", self._episode_return[i]),
+                    info.get("episode_length", self._episode_length[i]),
+                )
                 self._episode_return[i] = 0.0
                 self._episode_length[i] = 0.0
                 obs, _ = env.reset()
@@ -147,23 +159,26 @@ class HostGymEnv:
         env = self._envs[i]
         if self._discrete:
             action = int(action)
-        obs, r, term, trunc, _ = env.step(action)
+        obs, r, term, trunc, info = env.step(action)
         final = obs
         self._episode_return[i] += r
         self._episode_length[i] += 1
         if term or trunc:
-            self._last_stats[i] = (self._episode_return[i], self._episode_length[i])
+            self._last_stats[i] = (
+                info.get("episode_return", self._episode_return[i]),
+                info.get("episode_length", self._episode_length[i]),
+            )
             self._episode_return[i] = 0.0
             self._episode_length[i] = 0.0
             obs, _ = env.reset()
-        return np.asarray(obs, np.float32), np.asarray(final, np.float32), r, term, trunc
+        return np.asarray(obs, self._obs_dtype), np.asarray(final, self._obs_dtype), r, term, trunc
 
     def _host_step_async(self, actions):
         import time as _time
 
         actions = np.asarray(actions)
-        obs_out = np.empty(self._obs_shape, np.float32)
-        final_out = np.empty(self._obs_shape, np.float32)
+        obs_out = np.empty(self._obs_shape, self._obs_dtype)
+        final_out = np.empty(self._obs_shape, self._obs_dtype)
         reward = np.zeros(self.nr_envs, np.float32)
         terminated = np.zeros(self.nr_envs, bool)
         truncated = np.zeros(self.nr_envs, bool)
@@ -204,7 +219,7 @@ class HostGymEnv:
         seed = jax.random.randint(key, (), 0, 2**31 - 1)
         observation = jax.experimental.io_callback(
             self._host_reset,
-            jax.ShapeDtypeStruct(self._obs_shape, jnp.float32),
+            jax.ShapeDtypeStruct(self._obs_shape, self._obs_dtype),
             seed,
             ordered=True,
         )
@@ -228,8 +243,8 @@ class HostGymEnv:
         import jax.experimental
 
         out_specs = (
-            jax.ShapeDtypeStruct(self._obs_shape, jnp.float32),
-            jax.ShapeDtypeStruct(self._obs_shape, jnp.float32),
+            jax.ShapeDtypeStruct(self._obs_shape, self._obs_dtype),
+            jax.ShapeDtypeStruct(self._obs_shape, self._obs_dtype),
             jax.ShapeDtypeStruct((self.nr_envs,), jnp.float32),
             jax.ShapeDtypeStruct((self.nr_envs,), bool),
             jax.ShapeDtypeStruct((self.nr_envs,), bool),
