@@ -1,0 +1,261 @@
+"""Learning-curve parity harness (BASELINE.md configs + family spot checks).
+
+Runs a named config to a fixed step budget, records the in-program eval
+history (return vs env steps; callback-free, so it also works on the hosted
+TPU where host callbacks are unavailable), asserts the final return against
+a threshold band, and writes `benchmarks/results/<name>[_rN].json`.
+
+For BASELINE head-to-head configs, `--with-reference` additionally runs the
+REFERENCE's own flax implementation (`rl_x/algorithms/{ppo,sac}/flax`) in a
+subprocess on the same Gymnasium task with the same budget and records its
+eval curve next to ours — the reference env id is config-driven
+(`rl_x/environments/gym/mujoco/humanoid_v4/default_config.py:9`,
+`config.type`), so Hopper-v5 / HalfCheetah-v5 run through the reference's
+humanoid_v4 registration unchanged.  A no-op wandb shim
+(`benchmarks/_refshim/wandb.py`) satisfies the reference's unconditional
+wandb import.
+
+    python benchmarks/curves.py hopper_ppo --with-reference
+    python benchmarks/curves.py pendulum_spot_td3
+    python benchmarks/curves.py locomotion_lstm --device tpu
+    python benchmarks/curves.py --list
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+RESULTS_DIR = os.path.join(REPO, "benchmarks", "results")
+REFERENCE = "/root/reference"
+
+# Reference-matched hyperparameters (`rl_x/algorithms/ppo/flax/default_config.py`)
+_REF_PPO = {
+    "algorithm.learning_rate": 3e-4,
+    "algorithm.anneal_learning_rate": False,
+    "algorithm.nr_steps": 2048 // 8,  # 8 envs x 256 steps = same 2048-sample batch
+    "algorithm.nr_epochs": 10,
+    "algorithm.minibatch_size": 64,
+    "algorithm.gamma": 0.99,
+    "algorithm.gae_lambda": 0.95,
+    "algorithm.clip_range": 0.2,
+    "algorithm.entropy_coef": 0.0,
+    "algorithm.critic_coef": 0.5,
+    "algorithm.max_grad_norm": 0.5,
+    "algorithm.action_clipping_and_rescaling": True,
+    "algorithm.policy_hidden_sizes": (256, 256),
+    "algorithm.critic_hidden_sizes": (256, 256),
+}
+
+RUNS = {
+    # ---- BASELINE.md benchmark configs --------------------------------
+    "pendulum_ppo": {  # BASELINE config 1 (tuned gamma unlock, tests/test_ppo.py:69)
+        "algorithm": "ppo.tpu", "environment": "classic.pendulum.tpu",
+        "budget": 200_000, "threshold": -700.0, "eval_points": 10,
+        "overrides": {
+            "algorithm.nr_steps": 256, "algorithm.minibatch_size": 512,
+            "algorithm.nr_epochs": 10, "algorithm.learning_rate": 1e-3,
+            "algorithm.gamma": 0.9, "environment.nr_envs": 8,
+        },
+    },
+    "hopper_ppo": {  # BASELINE config 2, head-to-head vs reference ppo.flax
+        "algorithm": "ppo.tpu", "environment": "gym.mujoco.hopper_v5.host",
+        "budget": 300_000, "threshold": 800.0, "eval_points": 12,
+        "overrides": {**_REF_PPO, "environment.nr_envs": 8},
+        "reference": {
+            "algorithm": "ppo.flax", "environment": "gym.mujoco.humanoid_v4",
+            "type": "Hopper-v5", "nr_envs": 8,
+        },
+    },
+    "halfcheetah_sac": {  # BASELINE config 3, head-to-head vs reference sac.flax
+        "algorithm": "sac.tpu", "environment": "gym.mujoco.half_cheetah_v5.host",
+        "budget": 100_000, "threshold": 2000.0, "eval_points": 8,
+        "overrides": {"environment.nr_envs": 1},  # reference default: 1 env, 1 update/step
+        "reference": {
+            "algorithm": "sac.flax", "environment": "gym.mujoco.humanoid_v4",
+            "type": "HalfCheetah-v5", "nr_envs": 1,
+        },
+    },
+    "locomotion_lstm": {  # BASELINE config 5: PPO+LSTM, 4096 envs, device env
+        "algorithm": "ppo_lstm.tpu", "environment": "locomotion.robot.tpu",
+        "budget": 50_000_000, "threshold": 0.5, "eval_points": 10,
+        "overrides": {
+            "environment.nr_envs": 4096,
+            "algorithm.nr_steps": 32,
+            "algorithm.minibatch_size": 4096 * 32 // 4,
+            "algorithm.nr_epochs": 4,
+            "algorithm.learning_rate": 3e-4,
+            "algorithm.policy_hidden_sizes": (512, 256, 128),
+            "algorithm.critic_hidden_sizes": (512, 256, 128),
+            "algorithm.activation": "elu",
+            "algorithm.logging_active": False,  # host callbacks unavailable on TPU tunnel
+        },
+    },
+}
+
+# ---- family spot checks: final return threshold on small classic tasks ----
+_PENDULUM_OFFPOLICY = {
+    "algorithm.learning_starts": 1_000,
+    "algorithm.buffer_size": 100_000, "algorithm.batch_size": 128,
+    "algorithm.logging_frequency": 2_000, "environment.nr_envs": 8,
+}
+for _name, _algo in [
+    ("td3", "td3.tpu"), ("ddpg", "ddpg.tpu"), ("redq", "redq.tpu"),
+    ("tqc", "tqc.tpu"), ("droq", "droq.tpu"), ("crossq", "crossq.tpu"),
+    ("mpo", "mpo.tpu"), ("fastsac", "fastsac.tpu"),
+]:
+    RUNS[f"pendulum_spot_{_name}"] = {
+        "algorithm": _algo, "environment": "classic.pendulum.tpu",
+        "budget": 100_000, "threshold": -500.0, "eval_points": 8,
+        "overrides": dict(_PENDULUM_OFFPOLICY),
+    }
+RUNS["pendulum_spot_espo"] = {
+    "algorithm": "espo.tpu", "environment": "classic.pendulum.tpu",
+    "budget": 200_000, "threshold": -700.0, "eval_points": 8,
+    "overrides": dict(RUNS["pendulum_ppo"]["overrides"]),
+}
+for _name, _algo in [("dqn", "dqn.tpu"), ("pqn", "pqn.tpu")]:
+    RUNS[f"cartpole_spot_{_name}"] = {
+        "algorithm": _algo, "environment": "classic.cart_pole.tpu",
+        "budget": 100_000, "threshold": 250.0, "eval_points": 6,
+        "overrides": {"environment.nr_envs": 8},
+    }
+
+
+def run_ours(name, spec, device, seed):
+    import jax
+
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_default_matmul_precision", "float32")
+
+    from rlx_tpu.config import create_model, make_config
+
+    budget = spec["budget"]
+    eval_freq = max(budget // spec["eval_points"], 1)
+    overrides = dict(spec["overrides"])
+    overrides.update({
+        "algorithm.total_timesteps": budget,
+        "algorithm.evaluation_and_save_frequency": eval_freq,
+        "algorithm.evaluation_active": True,
+        "environment.seed": seed,
+    })
+    config = make_config(spec["algorithm"], spec["environment"], **overrides)
+    model = create_model(config)
+    start = time.time()
+    model.train()
+    wall = time.time() - start
+    hist = model.eval_history
+    assert hist is not None, "evaluation_active run must produce eval_history"
+    return {
+        "steps": [int(s) for s in hist["steps"]],
+        "returns": [float(r) for r in hist["eval/episode_return"]],
+        "wall_s": round(wall, 2),
+    }
+
+
+_BOX_LINE = re.compile(r"│ (\S+)\s*│ (-?[0-9.e+-]+)\s*│")
+
+
+def run_reference(spec, budget, eval_points, seed):
+    """Run the reference flax implementation in a subprocess; parse its
+    console boxes into an eval curve (metric names from
+    `rl_x/algorithms/ppo/flax/ppo.py:366-385`)."""
+    ref = spec["reference"]
+    eval_freq = max(budget // eval_points, 1)
+    shim = os.path.join(REPO, "benchmarks", "_refshim")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{shim}:{REFERENCE}"
+    env["JAX_PLATFORMS"] = "cpu"
+    cmd = [
+        sys.executable, f"{REFERENCE}/experiments/experiment.py",
+        "--runner.mode=train", f"--algorithm.name={ref['algorithm']}",
+        f"--environment.name={ref['environment']}",
+        f"--environment.type={ref['type']}",
+        f"--environment.nr_envs={ref['nr_envs']}",
+        f"--environment.seed={seed}",
+        "--runner.track_console=True", "--runner.track_tb=False",
+        "--runner.track_wandb=False", "--runner.save_model=False",
+        "--algorithm.device=cpu",
+        f"--algorithm.total_timesteps={budget}",
+        f"--algorithm.evaluation_frequency={eval_freq}",
+        "--algorithm.evaluation_episodes=5",
+    ]
+    start = time.time()
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd="/tmp")
+    wall = time.time() - start
+    if proc.returncode != 0:
+        raise RuntimeError(f"reference run failed:\n{proc.stdout[-3000:]}\n{proc.stderr[-3000:]}")
+    steps, returns, cur_step = [], [], None
+    for line in proc.stdout.splitlines():
+        m = _BOX_LINE.search(line)
+        if not m:
+            continue
+        key, value = m.group(1), float(m.group(2))
+        if key == "steps/nr_env_steps":
+            cur_step = int(value)
+        elif key == "eval/episode_return" and cur_step is not None:
+            steps.append(cur_step)
+            returns.append(value)
+    return {"steps": steps, "returns": returns, "wall_s": round(wall, 2)}
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("run", nargs="?", help="named run (see --list)")
+    parser.add_argument("--list", action="store_true")
+    parser.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
+    parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--with-reference", action="store_true")
+    parser.add_argument("--tag", default="", help="suffix for the results file")
+    args = parser.parse_args()
+
+    if args.list or not args.run:
+        for name, spec in RUNS.items():
+            ref = " [head-to-head]" if "reference" in spec else ""
+            print(f"{name:28s} {spec['algorithm']:16s} {spec['environment']:32s} "
+                  f"budget={spec['budget']:>11,} threshold={spec['threshold']}{ref}")
+        return
+
+    spec = RUNS[args.run]
+    result = {
+        "name": args.run, "algorithm": spec["algorithm"],
+        "environment": spec["environment"], "budget": spec["budget"],
+        "threshold": spec["threshold"], "seed": args.seed, "device": args.device,
+    }
+    if args.with_reference:
+        if "reference" not in spec:
+            raise SystemExit(f"{args.run} has no reference head-to-head spec")
+        print(f"[curves] running REFERENCE {spec['reference']['algorithm']} "
+              f"on {spec['reference']['type']} ...", flush=True)
+        result["reference"] = run_reference(spec, spec["budget"], spec["eval_points"], args.seed)
+        print(f"[curves] reference curve: {result['reference']['returns']}", flush=True)
+
+    print(f"[curves] running OURS {spec['algorithm']} on {spec['environment']} ...", flush=True)
+    result["ours"] = run_ours(args.run, spec, args.device, args.seed)
+    print(f"[curves] our curve: {result['ours']['returns']}", flush=True)
+
+    tail = result["ours"]["returns"][-3:]
+    final = sum(tail) / len(tail)
+    result["final_return"] = final
+    result["passed"] = bool(final >= spec["threshold"])
+
+    os.makedirs(RESULTS_DIR, exist_ok=True)
+    suffix = f"_{args.tag}" if args.tag else ""
+    path = os.path.join(RESULTS_DIR, f"{args.run}{suffix}.json")
+    with open(path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"[curves] {args.run}: final={final:.1f} threshold={spec['threshold']} "
+          f"passed={result['passed']} -> {path}", flush=True)
+    if not result["passed"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

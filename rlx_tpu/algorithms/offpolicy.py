@@ -267,7 +267,9 @@ class OffPolicyAlgorithm:
             "eval/episode_return": jnp.mean(eval_env_state.info["rollout/episode_return"]),
             "eval/episode_length": jnp.mean(eval_env_state.info["rollout/episode_length"]),
         }
-        jax.debug.callback(self._log_eval_callback, eval_metrics, eval_save_iteration_step)
+        if self.config.algorithm.logging_active:
+            jax.debug.callback(self._log_eval_callback, eval_metrics, eval_save_iteration_step)
+        return eval_metrics
 
     def build_train_function(self):
         def jitable_train_function(key):
@@ -305,18 +307,19 @@ class OffPolicyAlgorithm:
                     (states, buffer, env_state, learn_key),
                     jnp.arange(self.nr_loggings_per_eval_save_iteration),
                 )
+                eval_metrics = None
                 if self.evaluation_active:
-                    self._eval_iteration(states, eval_key, eval_save_iteration_step)
+                    eval_metrics = self._eval_iteration(states, eval_key, eval_save_iteration_step)
                 if self.save_model:
                     jax.debug.callback(self._save_callback, states)
-                return (states, buffer, env_state, key), None
+                return (states, buffer, env_state, key), eval_metrics
 
-            final_carry, _ = jax.lax.scan(
+            final_carry, eval_history = jax.lax.scan(
                 eval_save_iteration,
                 (self.states, buffer, env_state, key),
                 jnp.arange(self.nr_eval_save_iterations),
             )
-            return final_carry[0]
+            return final_carry[0], eval_history
 
         return jitable_train_function
 
@@ -325,7 +328,14 @@ class OffPolicyAlgorithm:
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        self.states = jax.block_until_ready(train_function(run_key))
+        states, eval_history = jax.block_until_ready(train_function(run_key))
+        self.states = states
+        # callback-free curve record (see ppo.py train())
+        self.eval_history = None
+        if eval_history is not None:
+            steps = (np.arange(self.nr_eval_save_iterations) + 1) * self.eval_save_frequency
+            self.eval_history = {"steps": steps}
+            self.eval_history.update({k: np.asarray(v) for k, v in eval_history.items()})
         rlx_logger.info(f"Average time: {time.time() - start:.2f} s")
 
     # --- callbacks ---------------------------------------------------------

@@ -281,8 +281,10 @@ class RecurrentPPO:
             "eval/episode_return": jnp.mean(eval_env_state.info["rollout/episode_return"]),
             "eval/episode_length": jnp.mean(eval_env_state.info["rollout/episode_length"]),
         }
-        combined_step = (outer_step + 1) * self.nr_updates_per_eval_save_iteration
-        jax.debug.callback(self._log_eval_callback, eval_metrics, combined_step)
+        if self.config.algorithm.logging_active:
+            combined_step = (outer_step + 1) * self.nr_updates_per_eval_save_iteration
+            jax.debug.callback(self._log_eval_callback, eval_metrics, combined_step)
+        return eval_metrics
 
     def build_train_function(self):
         def jitable_train_function(key):
@@ -299,18 +301,19 @@ class RecurrentPPO:
                     (policy_state, critic_state, env_state, policy_carry, learn_key),
                     jnp.arange(self.nr_updates_per_eval_save_iteration),
                 )
+                eval_metrics = None
                 if self.evaluation_active:
-                    self._eval_iteration(policy_state, eval_key, outer_step)
+                    eval_metrics = self._eval_iteration(policy_state, eval_key, outer_step)
                 if self.save_model:
                     jax.debug.callback(self._save_callback, policy_state, critic_state)
-                return (policy_state, critic_state, env_state, policy_carry, key), None
+                return (policy_state, critic_state, env_state, policy_carry, key), eval_metrics
 
-            final_carry, _ = jax.lax.scan(
+            final_carry, eval_history = jax.lax.scan(
                 eval_save_iteration,
                 (self.policy_state, self.critic_state, env_state, policy_carry, key),
                 jnp.arange(self.nr_eval_save_iterations),
             )
-            return final_carry[0], final_carry[1]
+            return final_carry[0], final_carry[1], eval_history
 
         return jitable_train_function
 
@@ -319,7 +322,15 @@ class RecurrentPPO:
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        self.policy_state, self.critic_state = jax.block_until_ready(train_function(run_key))
+        policy_state, critic_state, eval_history = jax.block_until_ready(train_function(run_key))
+        self.policy_state = policy_state
+        self.critic_state = critic_state
+        # callback-free curve record (see ppo.py train())
+        self.eval_history = None
+        if eval_history is not None:
+            steps = (np.arange(self.nr_eval_save_iterations) + 1) * self.nr_updates_per_eval_save_iteration * self.batch_size
+            self.eval_history = {"steps": steps}
+            self.eval_history.update({k: np.asarray(v) for k, v in eval_history.items()})
         rlx_logger.info(f"Average time: {time.time() - start:.2f} s")
 
     # ------------------------------------------------------------- callbacks

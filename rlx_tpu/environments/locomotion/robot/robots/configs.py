@@ -32,5 +32,29 @@ ROBOT_CONFIGS = {
         "actuator_joint_max_velocities": [20.0] * 10,
         "control_frequency_hz": 50,
         "robot_dimensions_mean": 0.7,
+        # heel+toe spheres form ONE logical foot for gait timers (foot
+        # discovery order: L_heel, L_toe, R_heel, R_toe)
+        "foot_groups": [[0, 1], [2, 3]],
+    },
+    "booster_t1": {
+        # 23-DoF humanoid in the Booster T1's joint topology and published
+        # actuator envelope (reference `robocup_soccer/robots/booster_t1/
+        # robot_config.py`: head 2, arms 2x4, waist 1, legs 2x6); the MJCF
+        # itself is authored for the rlx_tpu engine subset, not a port of
+        # the vendor model.
+        "xml_path": os.path.join(_HERE, "booster_t1.xml"),
+        "scaling_factor": 0.5,
+        "actuator_joints_to_stay_near_nominal": [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10],
+        "actuator_joint_max_velocities": [
+            12.56, 12.56,
+            18.84, 18.84, 18.84, 18.84,
+            18.84, 18.84, 18.84, 18.84,
+            10.88,
+            12.5, 10.9, 10.9, 11.7, 18.8, 12.4,
+            12.5, 10.9, 10.9, 11.7, 18.8, 12.4,
+        ],
+        "control_frequency_hz": 50,
+        "robot_dimensions_mean": 0.7,
+        "foot_groups": [[0, 1], [2, 3]],
     },
 }

@@ -85,6 +85,22 @@ class LocomotionEnv:
         self.feet_local_pos = np.asarray([m.geom_pos[g] for g in foot_geoms], dtype=np.float32)
         self.foot_radius = float(m.geom_size[foot_geoms[0], 0])
 
+        # logical foot groups: multi-sphere feet (heel+toe) share one gait
+        # state — air/ground timers see the OR of the group's contacts, so a
+        # heel-toe roll is not penalized as an extra "foot" (matches the
+        # reference's box-foot semantics, unitree_g1). [nf, nf] bool matrix:
+        # same_group[i, j] = spheres i and j belong to the same logical foot.
+        groups = self.robot_config.get("foot_groups")
+        if groups is None:
+            groups = [[i] for i in range(self.nr_feet)]
+        self.foot_groups = groups
+        same = np.zeros((self.nr_feet, self.nr_feet), dtype=bool)
+        for group in groups:
+            for i in group:
+                for j in group:
+                    same[i, j] = True
+        self.foot_same_group = jnp.asarray(same)
+
         col_geoms = [g for g in range(len(m.geom_name)) if m.geom_group[g] == 5]
         self.collision_body = np.asarray([m.geom_body[g] for g in col_geoms], dtype=np.int32)
         self.collision_local_pos = np.asarray([m.geom_pos[g] for g in col_geoms], dtype=np.float32)
@@ -164,6 +180,31 @@ class LocomotionEnv:
         )
         self._build_observation_indices(nu, nf)
 
+    # --- variant hooks (soccer et al.) ----------------------------------------
+
+    def nr_extra_observations(self):
+        """Extra observation channels appended after exteroception (e.g.
+        gait-phase features); variants override together with
+        ``extra_observation``."""
+        return 0
+
+    def extra_observation(self, internal):
+        """[B, nr_extra_observations()] un-normalized extra channels."""
+        return None
+
+    def extra_internal_init(self, nr_envs):
+        """Extra internal-state entries created at reset."""
+        return {}
+
+    def extra_episode_start(self, internal, mask, key, eval_mode):
+        """Masked per-episode re-sampling of variant state."""
+        return internal
+
+    def internal_step_update(self, internal):
+        """Per-control-step variant state advance (after reward + obs, like
+        the reference's gait step at `robocup_soccer/.../environment.py:439`)."""
+        return internal
+
     # --- static helpers ------------------------------------------------------
 
     def _build_observation_indices(self, nu, nf):
@@ -189,6 +230,7 @@ class LocomotionEnv:
         self.gravity_vector_obs_idx = take(3)
         self.policy_exteroception_obs_idx = take(self.policy_exteroception.nr_exteroceptive_observations)
         self.critic_exteroception_obs_idx = take(self.critic_exteroception.nr_exteroceptive_observations)
+        self.extra_obs_idx = take(self.nr_extra_observations())
 
         self.single_observation_space = BoxSpace(low=-np.inf, high=np.inf, shape=(idx,))
         self.policy_observation_indices = jnp.asarray(
@@ -200,6 +242,7 @@ class LocomotionEnv:
                 self.goal_velocities_obs_idx,
                 self.gravity_vector_obs_idx,
                 self.policy_exteroception_obs_idx,
+                self.extra_obs_idx,
             ]).astype(np.int32)
         )
         self.critic_observation_indices = jnp.asarray(
@@ -215,6 +258,7 @@ class LocomotionEnv:
                 self.goal_velocities_obs_idx,
                 self.gravity_vector_obs_idx,
                 self.critic_exteroception_obs_idx,
+                self.extra_obs_idx,
             ]).astype(np.int32)
         )
 
@@ -274,6 +318,7 @@ class LocomotionEnv:
         internal["last_action"] = jnp.zeros((B, self.nr_actuator_joints))
         internal["second_last_action"] = jnp.zeros((B, self.nr_actuator_joints))
         internal["imu_height_over_ground"] = jnp.full(B, self.nominal_imu_height_over_ground)
+        internal.update(self.extra_internal_init(B))
 
         internal, qpos, qvel = self._episode_start(
             internal, jnp.ones(B, bool), k_terrain, k_init, k_dr, k_cmd_s, k_cmd, eval_mode
@@ -359,6 +404,9 @@ class LocomotionEnv:
         internal["previous_feet_positions"] = tree_where(
             mask, self.feet_world_positions(qpos), internal["previous_feet_positions"]
         )
+        internal = self.extra_episode_start(
+            internal, mask, jax.random.fold_in(k_dr, 101), eval_mode
+        )
         return internal, qpos, qvel
 
     def _trunk_frame(self, qpos, qvel):
@@ -401,6 +449,7 @@ class LocomotionEnv:
             "feet_contacts": feet_contacts,
             "feet_velocities": feet_vel,
             "feet_positions": feet_pos,
+            "feet_rotations": R_all[:, self.feet_body],  # [B, nf, 3, 3] body->world
             "collision_sphere_positions": col_pos,
             "joint_torques": torques,
             "gravity_vector": gravity_vec,
@@ -420,7 +469,8 @@ class LocomotionEnv:
                 obsdata["imu_linear_velocity"], obsdata["imu_angular_velocity"],
                 internal["goal_velocities"], obsdata["gravity_vector"],
                 policy_ext, critic_ext,
-            ],
+            ]
+            + ([self.extra_observation(internal)] if len(self.extra_obs_idx) > 0 else []),
             axis=1,
         )
         observation = self.observation_noise.modify(internal, observation, key)
@@ -523,6 +573,7 @@ class LocomotionEnv:
             internal, obsdata["feet_contacts"], obsdata["joint_velocities"],
             obsdata["imu_linear_velocity"], obsdata["feet_positions"],
         )
+        internal = self.internal_step_update(internal)
         internal["second_last_action"] = internal["last_action"]
         internal["last_action"] = action
         episode_return = state.episode_store["episode_return"] + reward

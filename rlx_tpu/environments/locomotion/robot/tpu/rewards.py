@@ -57,15 +57,27 @@ class DefaultReward:
             "previous_feet_positions": jnp.zeros((nr_envs, env.nr_feet, 3)),
         }
 
+    def extra_terms(self, internal, obsdata, action, info):
+        """Variant hook: (extra_tracking, extra_penalty) [B] terms added
+        inside the clipped sum (soccer's feet_phase / feet_flat / feet_yaw)."""
+        return 0.0, 0.0
+
+    def grouped_contacts(self, feet_contacts):
+        """OR of contacts over each sphere's logical-foot group (heel+toe
+        feet count as ONE foot for gait timers)."""
+        return jnp.einsum("bf,gf->bg", feet_contacts.astype(jnp.float32),
+                          self.env.foot_same_group.astype(jnp.float32)) > 0.0
+
     def step(self, internal, feet_contacts, joint_velocities, imu_linear_velocity, feet_positions):
         """Post-reward bookkeeping (`default.py:69-74`)."""
         dt = self.env.dt
         internal = dict(internal)
+        gc = self.grouped_contacts(feet_contacts)
         internal["feet_time_on_ground"] = jnp.where(
-            feet_contacts, internal["feet_time_on_ground"] + dt, 0.0
+            gc, internal["feet_time_on_ground"] + dt, 0.0
         )
         internal["feet_time_in_air"] = jnp.where(
-            feet_contacts, 0.0, internal["feet_time_in_air"] + dt
+            gc, 0.0, internal["feet_time_in_air"] + dt
         )
         internal["previous_actuator_joint_velocities"] = joint_velocities
         internal["previous_imu_linear_velocity"] = imu_linear_velocity
@@ -175,19 +187,20 @@ class DefaultReward:
         height_diff = internal["imu_height_over_ground"] - env.nominal_imu_height_over_ground
         base_height = cc * self.base_height_coeff * -jnp.square(height_diff)
 
-        # foot air time (`default.py:180-186`)
+        # foot air time (`default.py:180-186`) — gait terms see logical feet
+        grouped = self.grouped_contacts(feet_contacts)
         standing = jnp.all(goal == 0.0, axis=1)
         target_air = (~standing).astype(jnp.float32) * (
             self.foot_air_time_per_robot_size_m * env.robot_dimensions_mean
         )
         air_time = jnp.mean(
-            feet_contacts * jnp.minimum(internal["feet_time_in_air"] - target_air[:, None], 0.0),
+            grouped * jnp.minimum(internal["feet_time_in_air"] - target_air[:, None], 0.0),
             axis=1,
         )
         foot_air_time = cc * self.foot_air_time_coeff * air_time
 
         pairs = env.feet_symmetry_pairs                        # [np, 2]
-        both_in_air = (~feet_contacts[:, pairs[:, 0]]) & (~feet_contacts[:, pairs[:, 1]])
+        both_in_air = (~grouped[:, pairs[:, 0]]) & (~grouped[:, pairs[:, 1]])
         symmetry = cc * self.symmetry_air_coeff * -jnp.mean(both_in_air.astype(jnp.float32), axis=1)
 
         slip = jnp.sum(jnp.square(feet_vel[..., :2]), axis=-1)  # [B, nf]
@@ -202,7 +215,8 @@ class DefaultReward:
             + jvel + jaccel + torque + power_draw + action_rate + action_smooth + collision
             + ground_pen + base_height + foot_air_time + symmetry + foot_slip + foot_z_vel
         )
-        reward = tracking + penalty + alive_clipped
+        extra_tracking, extra_penalty = self.extra_terms(internal, obsdata, action, info)
+        reward = tracking + extra_tracking + penalty + extra_penalty + alive_clipped
         reward = jnp.maximum(reward, 0.0) + alive_unclipped
         reward = jnp.nan_to_num(reward, nan=0.0, posinf=0.0, neginf=0.0)
 

@@ -23,7 +23,9 @@ class PlaneTerrain:
     """Flat ground at z=0; no per-env state."""
 
     n = 1
-    half_extent_m = 1.0
+    # effectively unbounded: the plane has no grid edge, so the hfield
+    # edge-teleport in LocomotionEnv.step must never trigger
+    half_extent_m = 1e9
 
     def __init__(self, env, cfg):
         self.env = env
