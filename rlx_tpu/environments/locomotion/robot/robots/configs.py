@@ -36,6 +36,39 @@ ROBOT_CONFIGS = {
         # discovery order: L_heel, L_toe, R_heel, R_toe)
         "foot_groups": [[0, 1], [2, 3]],
     },
+    "go2": {
+        # Unitree Go2: published actuator envelope and metadata from the
+        # reference's `robot_locomotion/robots/unitree_go2/robot_config.py`;
+        # MJCF authored for the rlx_tpu engine subset.
+        "xml_path": os.path.join(_HERE, "unitree_go2.xml"),
+        "scaling_factor": 0.3,
+        "actuator_joints_to_stay_near_nominal": [],
+        "actuator_joint_max_velocities": [30.1, 30.1, 15.7] * 4,
+        "control_frequency_hz": 50,
+        "robot_dimensions_mean": 0.5,
+    },
+    "g1": {
+        # Unitree G1: published actuator envelope and metadata from the
+        # reference's `robot_locomotion/robots/unitree_g1/robot_config.py`
+        # (ankle-roll, waist and arm joints stay near nominal); MJCF
+        # authored for the rlx_tpu engine subset.
+        "xml_path": os.path.join(_HERE, "unitree_g1.xml"),
+        "scaling_factor": 0.5,
+        "actuator_joints_to_stay_near_nominal": [
+            5, 11, 12, 13, 14, 15, 16, 17, 18, 19, 20, 21, 22,
+            23, 24, 25, 26, 27, 28,
+        ],
+        "actuator_joint_max_velocities": [
+            32.0, 32.0, 32.0, 20.0, 37.0, 37.0,
+            32.0, 32.0, 32.0, 20.0, 37.0, 37.0,
+            32.0, 37.0, 37.0,
+            37.0, 37.0, 37.0, 37.0, 37.0, 22.0, 22.0,
+            37.0, 37.0, 37.0, 37.0, 37.0, 22.0, 22.0,
+        ],
+        "control_frequency_hz": 50,
+        "robot_dimensions_mean": 0.7,
+        "foot_groups": [[0, 1], [2, 3]],
+    },
     "booster_t1": {
         # 23-DoF humanoid in the Booster T1's joint topology and published
         # actuator envelope (reference `robocup_soccer/robots/booster_t1/
