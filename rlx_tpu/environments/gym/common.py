@@ -23,7 +23,8 @@ def make_gym_registration(env_id, discrete=False, nr_envs=8):
         config.env_id = env_id
         config.seed = 1
         config.nr_envs = nr_envs
-        config.async_workers = 0  # > 0: thread-pool stepping
+        config.vectorization = "sync"  # sync | process (forkserver workers)
+        config.async_workers = 0  # > 0: thread-pool stepping (sync mode)
         config.async_skip_percentage = 0.0  # fraction of slowest envs to skip
         config.render = False
         return config
@@ -32,7 +33,8 @@ def make_gym_registration(env_id, discrete=False, nr_envs=8):
         train_env = HostGymEnv(config.environment.env_id, config.environment.nr_envs,
                                seed=config.environment.seed,
                                async_workers=config.environment.async_workers,
-                               async_skip_percentage=config.environment.async_skip_percentage)
+                               async_skip_percentage=config.environment.async_skip_percentage,
+                               vectorization=config.environment.vectorization)
         eval_env = HostGymEnv(config.environment.env_id, config.environment.nr_envs,
                               seed=config.environment.seed + 10_000)
         for env in (train_env, eval_env):

@@ -14,8 +14,16 @@ device-env protocol exactly, so every algorithm works unchanged on host
 envs.  Episode statistics mirror the reference's RecordEpisodeStatistics
 (`rl_x/environments/gym/mujoco/humanoid_v4/wrappers.py:36-58`).
 
-Limitations (documented): host envs run at mesh dp=1 (callbacks are not
-sharded across hosts yet); throughput is bound by the host step loop.
+Vectorization modes: "sync" (in-process loop; optional thread pool via
+``async_workers``) or "process" (one forkserver worker per env with
+shared-memory observations and slow-env skipping — the reference's
+AsyncVectorEnvWithSkipping equivalent, `process_pool.py`).
+
+dp>1: the step/reset callbacks are pinned to device 0 with unordered
+tokens, so the fused program stays SPMD-partitionable over the mesh (the
+env batch is gathered to the callback and re-sharded on return).  On
+multi-host pods the host loop still runs on process 0 only — true
+per-host sharded stepping would shard_map the callback region.
 """
 
 from typing import Any
@@ -52,15 +60,31 @@ class HostGymEnv:
     """
 
     def __init__(self, env_id, nr_envs, seed=0, env_kwargs=None,
-                 async_workers=0, async_skip_percentage=0.0, env_fns=None):
+                 async_workers=0, async_skip_percentage=0.0, env_fns=None,
+                 vectorization="sync"):
         import gymnasium as gym
 
         self.env_id = env_id
         self.nr_envs = nr_envs
-        if env_fns is not None:  # factory path (e.g. wrapped Atari stacks)
-            self._envs = [fn() for fn in env_fns]
+        if env_fns is None:
+            env_kwargs = env_kwargs or {}
+            env_fns = [
+                (lambda eid=env_id, kw=env_kwargs: gym.make(eid, **kw))
+                for _ in range(nr_envs)
+            ]
+        self._env_fns = env_fns
+        # "process" defers env construction to the workers; other modes own
+        # in-process env objects
+        self._vectorization = vectorization
+        if vectorization == "process":
+            self._envs = []
+            probe = env_fns[0]()  # spaces/spec probe only
+            self._probe_env = probe
         else:
-            self._envs = [gym.make(env_id, **(env_kwargs or {})) for _ in range(nr_envs)]
+            self._envs = [fn() for fn in env_fns]
+            self._probe_env = self._envs[0]
+        self._proc_pool = None
+        self._proc_skip = async_skip_percentage
         self._seed = seed
         self._episode_return = np.zeros(nr_envs)
         self._episode_length = np.zeros(nr_envs)
@@ -74,7 +98,7 @@ class HostGymEnv:
 
             self._pool = ThreadPoolExecutor(max_workers=async_workers)
 
-        env0 = self._envs[0]
+        env0 = self._probe_env
         obs_space = env0.observation_space
         act_space = env0.action_space
         # uint8 image observations stay uint8 across the bridge (4x fewer
@@ -101,8 +125,27 @@ class HostGymEnv:
 
         self._obs_shape = (nr_envs,) + tuple(obs_space.shape)
 
+    def _ensure_proc_pool(self):
+        if self._proc_pool is None:
+            from rlx_tpu.environments.gym.process_pool import ProcessEnvPool
+
+            # the probe env's slot is owned by worker 0 from here on
+            self._probe_env.close()
+            self._proc_pool = ProcessEnvPool(
+                self._env_fns, self.single_observation_space.shape,
+                self._obs_dtype, self._proc_skip,
+            )
+
     # ------------------------------------------------------------- host side
     def _host_reset(self, seed):
+        if self._vectorization == "process":
+            self._ensure_proc_pool()
+            out = self._proc_pool.reset(seed)
+            self._episode_return[:] = 0.0
+            self._episode_length[:] = 0.0
+            self._last_stats[:] = 0.0
+            self._last_obs = out.copy()
+            return out
         observations = []
         for i, env in enumerate(self._envs):
             obs, _ = env.reset(seed=int(seed) + i)
@@ -115,6 +158,14 @@ class HostGymEnv:
         return out
 
     def _host_step(self, actions):
+        if self._vectorization == "process":
+            actions = np.asarray(actions)
+            if self._discrete:
+                actions = [int(a) for a in actions]
+            obs, final, reward, terminated, truncated, stats = self._proc_pool.step(actions)
+            done = terminated | truncated
+            self._last_stats[done] = stats[done]
+            return obs, final, reward, terminated, truncated, self._last_stats.copy()
         if self._pool is not None:
             return self._host_step_async(actions)
         actions = np.asarray(actions)
@@ -213,6 +264,21 @@ class HostGymEnv:
         return obs_out, final_out, reward, terminated, truncated, self._last_stats.copy()
 
     # ----------------------------------------------------------- device side
+    def _ordered_callbacks(self):
+        """Ordered callbacks carry a replicated token XLA's SPMD partitioner
+        rejects; at dp>1 the env-state data-dependency chain (obs -> action
+        -> step) already serializes the calls, so ordering is dropped."""
+        return len(jax.devices()) == 1
+
+    def _callback_sharding(self):
+        """Pin the host callback to one device so the fused program stays
+        SPMD-partitionable at dp>1: XLA gathers the sharded action to this
+        device, the host steps ALL envs there, and the returned batch is
+        re-sharded by the surrounding constraints.  (True per-host sharded
+        stepping on multi-host pods would shard_map the callback; single-
+        controller runs only need the pin.)"""
+        return jax.sharding.SingleDeviceSharding(jax.devices()[0])
+
     def reset(self, key, eval_mode=False):
         import jax.experimental
 
@@ -221,7 +287,8 @@ class HostGymEnv:
             self._host_reset,
             jax.ShapeDtypeStruct(self._obs_shape, self._obs_dtype),
             seed,
-            ordered=True,
+            ordered=self._ordered_callbacks(),
+            sharding=self._callback_sharding(),
         )
         zeros = jnp.zeros(self.nr_envs)
         falses = jnp.zeros(self.nr_envs, bool)
@@ -251,7 +318,11 @@ class HostGymEnv:
             jax.ShapeDtypeStruct((self.nr_envs, 2), jnp.float32),
         )
         observation, final_observation, reward, terminated, truncated, stats = (
-            jax.experimental.io_callback(self._host_step, out_specs, action, ordered=True)
+            jax.experimental.io_callback(
+                self._host_step, out_specs, action,
+                ordered=self._ordered_callbacks(),
+                sharding=self._callback_sharding(),
+            )
         )
         return state.replace(
             observation=observation,
@@ -268,3 +339,5 @@ class HostGymEnv:
     def close(self):
         for env in self._envs:
             env.close()
+        if self._proc_pool is not None:
+            self._proc_pool.close()

@@ -123,3 +123,78 @@ def test_async_skipping_bridge():
     assert skipped_seen
     assert np.isfinite(np.asarray(state.observation)).all()
     env.close()
+
+
+def test_ppo_on_host_env_dp2():
+    """dp>1 host envs: the io_callback is pinned to device 0 with unordered
+    tokens so the fused program SPMD-partitions over the virtual mesh."""
+    config = make_config(
+        "ppo.tpu",
+        "gym.classic.pendulum_v1.host",
+        **{
+            "algorithm.total_timesteps": 2 * 8 * 8,
+            "algorithm.nr_steps": 8,
+            "algorithm.minibatch_size": 16,
+            "algorithm.nr_epochs": 1,
+            "algorithm.evaluation_active": False,
+            "environment.nr_envs": 8,
+            "runner.mesh_dp": 2,
+        },
+    )
+    model = create_model(config)
+    assert model.mesh.shape["dp"] == 2
+    model.train()
+    for leaf in jax.tree.leaves(model.policy_state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+    model.train_env.close()
+
+
+def test_process_vectorization_end_to_end():
+    """forkserver worker processes + shared-memory observations behind the
+    bridge (reference AsyncVectorEnvWithSkipping equivalent)."""
+    from rlx_tpu.environments.gym.host_bridge import HostGymEnv
+
+    env = HostGymEnv("Pendulum-v1", 4, vectorization="process")
+    try:
+        state = env.reset(jax.random.PRNGKey(0))
+        assert np.asarray(state.observation).shape == (4, 3)
+        step = jax.jit(env.step)
+        for i in range(205):  # crosses the 200-step horizon -> autoreset
+            action = jnp.zeros((4, 1))
+            state = step(state, action)
+        assert np.isfinite(np.asarray(state.observation)).all()
+        # an episode completed: stats must be nonzero (pendulum returns < 0)
+        assert (np.asarray(state.info["rollout/episode_return"]) < 0.0).all()
+        assert (np.asarray(state.info["rollout/episode_length"]) == 200.0).all()
+    finally:
+        env.close()
+
+
+def test_process_vectorization_with_skipping():
+    from rlx_tpu.environments.gym.process_pool import ProcessEnvPool
+    import gymnasium as gym
+    import time
+
+    class SlowWrapper(gym.Wrapper):
+        def __init__(self, env, delay):
+            super().__init__(env)
+            self.delay = delay
+
+        def step(self, action):
+            time.sleep(self.delay)
+            return self.env.step(action)
+
+    fns = [lambda d=d: SlowWrapper(gym.make("Pendulum-v1"), d)
+           for d in (0.0, 0.0, 0.0, 0.3)]
+    pool = ProcessEnvPool(fns, (3,), np.float32, skip_percentage=0.25)
+    try:
+        pool.reset(0)
+        start = time.time()
+        for _ in range(3):
+            out = pool.step([np.zeros(1, np.float32)] * 4)
+        elapsed = time.time() - start
+        # without skipping 3 steps of the slow env cost >= 0.9 s; skipping
+        # must keep the fast envs moving
+        assert elapsed < 0.85, elapsed
+    finally:
+        pool.close()
