@@ -300,7 +300,7 @@ class OffPolicyAlgorithm:
                 )
 
             def eval_save_iteration(carry, eval_save_iteration_step):
-                states, buffer, env_state, key = carry
+                states, buffer, env_state, key, best_return = carry
                 key, learn_key, eval_key = jax.random.split(key, 3)
                 (states, buffer, env_state, _), _ = jax.lax.scan(
                     partial(self._logging_iteration, eval_save_iteration_step=eval_save_iteration_step),
@@ -308,15 +308,18 @@ class OffPolicyAlgorithm:
                     jnp.arange(self.nr_loggings_per_eval_save_iteration),
                 )
                 eval_metrics = None
+                is_best = jnp.asarray(False)
                 if self.evaluation_active:
                     eval_metrics = self._eval_iteration(states, eval_key, eval_save_iteration_step)
+                    is_best = eval_metrics["eval/episode_return"] > best_return
+                    best_return = jnp.maximum(best_return, eval_metrics["eval/episode_return"])
                 if self.save_model:
-                    jax.debug.callback(self._save_callback, states)
-                return (states, buffer, env_state, key), eval_metrics
+                    jax.debug.callback(self._save_callback, states, is_best)
+                return (states, buffer, env_state, key, best_return), eval_metrics
 
             final_carry, eval_history = jax.lax.scan(
                 eval_save_iteration,
-                (self.states, buffer, env_state, key),
+                (self.states, buffer, env_state, key, -jnp.inf),
                 jnp.arange(self.nr_eval_save_iterations),
             )
             return final_carry[0], eval_history
@@ -358,13 +361,21 @@ class OffPolicyAlgorithm:
         global_step = int((np.asarray(eval_save_iteration_step) + 1) * self.eval_save_frequency)
         self.logger.log_dict({k: np.asarray(v) for k, v in metrics.items()}, global_step)
 
-    def _save_callback(self, states):
+    def _save_callback(self, states, is_best=False):
         ckpt.save_model_file(
             self.save_path,
             "latest.model",
             self.checkpoint_tree(states),
             self.config.algorithm.to_dict(),
         )
+        if bool(np.asarray(is_best)):
+            # best-by-eval-return alongside latest (`ppo/flax/ppo.py:350-356`)
+            ckpt.save_model_file(
+                self.save_path,
+                "best.model",
+                self.checkpoint_tree(states),
+                self.config.algorithm.to_dict(),
+            )
 
     def checkpoint_tree(self, states):
         if self.config.runner.save_optimizer_state:

@@ -358,7 +358,7 @@ class PPO:
             env_state = mesh_lib.shard_batch(env_state, self.mesh)
 
             def eval_save_iteration(carry, outer_step):
-                policy_state, critic_state, env_state, key = carry
+                policy_state, critic_state, env_state, key, best_return = carry
                 key, learn_key, eval_key = jax.random.split(key, 3)
 
                 (policy_state, critic_state, env_state, _), _ = jax.lax.scan(
@@ -367,15 +367,20 @@ class PPO:
                     jnp.arange(self.nr_updates_per_eval_save_iteration),
                 )
                 eval_metrics = None
+                is_best = jnp.asarray(False)
                 if self.evaluation_active:
                     eval_metrics = self._eval_iteration(policy_state, eval_key, outer_step)
+                    # best-by-eval-return checkpoint (reference host loops
+                    # track best by running-mean return, `ppo/flax/ppo.py:350-356`)
+                    is_best = eval_metrics["eval/episode_return"] > best_return
+                    best_return = jnp.maximum(best_return, eval_metrics["eval/episode_return"])
                 if self.save_model:
-                    jax.debug.callback(self._save_callback, policy_state, critic_state)
-                return (policy_state, critic_state, env_state, key), eval_metrics
+                    jax.debug.callback(self._save_callback, policy_state, critic_state, is_best)
+                return (policy_state, critic_state, env_state, key, best_return), eval_metrics
 
             final_carry, eval_history = jax.lax.scan(
                 eval_save_iteration,
-                (self.policy_state, self.critic_state, env_state, key),
+                (self.policy_state, self.critic_state, env_state, key, -jnp.inf),
                 jnp.arange(self.nr_eval_save_iterations),
             )
             return final_carry[0], final_carry[1], eval_history
@@ -418,8 +423,11 @@ class PPO:
         global_step = int(np.asarray(combined_step)) * self.batch_size
         self.logger.log_dict({k: np.asarray(v) for k, v in metrics.items()}, global_step)
 
-    def _save_callback(self, policy_state, critic_state):
+    def _save_callback(self, policy_state, critic_state, is_best=False):
         self.save(policy_state, critic_state)
+        if bool(np.asarray(is_best)):
+            # best-by-eval-return alongside latest (`ppo/flax/ppo.py:350-356`)
+            self.save(policy_state, critic_state, file_name="best.model")
 
     # ---------------------------------------------------------- save / load
 
@@ -428,12 +436,12 @@ class PPO:
             return {"full": ckpt.full_state_dict({"policy": policy_state, "critic": critic_state})}
         return {"policy": policy_state.params, "critic": critic_state.params}
 
-    def save(self, policy_state=None, critic_state=None):
+    def save(self, policy_state=None, critic_state=None, file_name="latest.model"):
         policy_state = self.policy_state if policy_state is None else policy_state
         critic_state = self.critic_state if critic_state is None else critic_state
         ckpt.save_model_file(
             self.save_path,
-            "latest.model",
+            file_name,
             self._checkpoint_tree(policy_state, critic_state),
             self.config.algorithm.to_dict(),
         )

@@ -294,7 +294,7 @@ class RecurrentPPO:
             policy_carry = self.policy.initialize_carry(self.nr_envs)
 
             def eval_save_iteration(carry, outer_step):
-                policy_state, critic_state, env_state, policy_carry, key = carry
+                policy_state, critic_state, env_state, policy_carry, key, best_return = carry
                 key, learn_key, eval_key = jax.random.split(key, 3)
                 (policy_state, critic_state, env_state, policy_carry, _), _ = jax.lax.scan(
                     partial(self._learning_iteration, outer_step=outer_step),
@@ -302,15 +302,18 @@ class RecurrentPPO:
                     jnp.arange(self.nr_updates_per_eval_save_iteration),
                 )
                 eval_metrics = None
+                is_best = jnp.asarray(False)
                 if self.evaluation_active:
                     eval_metrics = self._eval_iteration(policy_state, eval_key, outer_step)
+                    is_best = eval_metrics["eval/episode_return"] > best_return
+                    best_return = jnp.maximum(best_return, eval_metrics["eval/episode_return"])
                 if self.save_model:
-                    jax.debug.callback(self._save_callback, policy_state, critic_state)
-                return (policy_state, critic_state, env_state, policy_carry, key), eval_metrics
+                    jax.debug.callback(self._save_callback, policy_state, critic_state, is_best)
+                return (policy_state, critic_state, env_state, policy_carry, key, best_return), eval_metrics
 
             final_carry, eval_history = jax.lax.scan(
                 eval_save_iteration,
-                (self.policy_state, self.critic_state, env_state, policy_carry, key),
+                (self.policy_state, self.critic_state, env_state, policy_carry, key, -jnp.inf),
                 jnp.arange(self.nr_eval_save_iterations),
             )
             return final_carry[0], final_carry[1], eval_history
@@ -352,12 +355,14 @@ class RecurrentPPO:
         global_step = int(np.asarray(combined_step)) * self.batch_size
         self.logger.log_dict({k: np.asarray(v) for k, v in metrics.items()}, global_step)
 
-    def _save_callback(self, policy_state, critic_state):
-        ckpt.save_model_file(
-            self.save_path, "latest.model",
-            {"policy": policy_state.params, "critic": critic_state.params},
-            self.config.algorithm.to_dict(),
-        )
+    def _save_callback(self, policy_state, critic_state, is_best=False):
+        names = ["latest.model"] + (["best.model"] if bool(np.asarray(is_best)) else [])
+        for name in names:
+            ckpt.save_model_file(
+                self.save_path, name,
+                {"policy": policy_state.params, "critic": critic_state.params},
+                self.config.algorithm.to_dict(),
+            )
 
     def save(self):
         self._save_callback(self.policy_state, self.critic_state)

@@ -223,7 +223,56 @@ class Runner:
                 wandb.define_metric("*", step_metric="global_step")
             except Exception as e:  # pragma: no cover
                 rlx_logger.warning(f"wandb init failed ({e}); continuing without wandb")
+        self._log_run_provenance(config, run_path)
         return writer
+
+    def _log_run_provenance(self, config, run_path):
+        """Run provenance capture (reference `rl_x/runner/runner.py:301-320`):
+        pip freeze, git commit + working-tree diff patch, SLURM job id.
+        Always written into the run directory (``provenance.json`` +
+        ``diff.patch``) so provenance survives without wandb; attached to
+        the wandb config when tracking is active."""
+        import json
+        import subprocess
+
+        provenance = {}
+        try:
+            packages = subprocess.check_output(
+                [sys.executable, "-m", "pip", "freeze"], stderr=subprocess.DEVNULL
+            ).decode().splitlines()
+            provenance["python_packages"] = dict(
+                p.split("==", 1) for p in packages if "==" in p
+            )
+        except Exception as e:
+            rlx_logger.warning(f"Could not capture pip freeze: {e}")
+        try:
+            project_dir = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+            provenance["git_commit_hash"] = subprocess.check_output(
+                ["git", "rev-parse", "HEAD"], cwd=project_dir, stderr=subprocess.DEVNULL
+            ).decode().strip()
+            git_diff = subprocess.check_output(
+                ["git", "diff"], cwd=project_dir, stderr=subprocess.DEVNULL
+            ).decode()
+            with open(os.path.join(run_path, "diff.patch"), "w") as f:
+                f.write(git_diff)
+        except Exception as e:
+            rlx_logger.warning(f"Could not capture git state: {e}")
+        if "SLURM_JOB_ID" in os.environ:
+            provenance["SLURM_JOB_ID"] = os.environ["SLURM_JOB_ID"]
+        with open(os.path.join(run_path, "provenance.json"), "w") as f:
+            json.dump(provenance, f, indent=1)
+
+        if config.runner.track_wandb:
+            try:
+                import wandb
+
+                if wandb.run is not None:
+                    wandb.config.update({k: v for k, v in provenance.items()})
+                    diff_path = os.path.join(run_path, "diff.patch")
+                    if os.path.exists(diff_path):
+                        wandb.save(diff_path, base_path=run_path)
+            except Exception:
+                pass
 
     def _train(self, _argv):
         config = self._combined_config()

@@ -120,3 +120,45 @@ def test_ppo_full_state_resume(tmp_path):
     # adam moments restored (non-zero after training)
     mu_leaves = jax.tree.leaves(model2.policy_state.opt_state[1].inner_state[0].mu)
     assert any(np.abs(np.asarray(l)).max() > 0 for l in mu_leaves)
+
+
+def test_ppo_best_model_checkpoint(tmp_path):
+    """best.model is written alongside latest.model, tracking the best
+    eval return (`ppo/flax/ppo.py:350-356` semantics)."""
+    config = tiny_config(**{
+        "runner.save_model": True,
+        "algorithm.evaluation_active": True,
+        "algorithm.total_timesteps": 4 * 8 * 16,
+        "algorithm.evaluation_and_save_frequency": 2 * 8 * 16,
+    })
+    model = create_model(config, run_path=str(tmp_path))
+    model.train()
+    assert (tmp_path / "models" / "latest.model").exists()
+    assert (tmp_path / "models" / "best.model").exists()
+
+    config2 = tiny_config()
+    config2.runner.load_model = str(tmp_path / "models" / "best.model")
+    from rlx_tpu.algorithms.ppo.tpu.ppo import PPO
+    from rlx_tpu.config import create_env
+
+    train_env, eval_env = create_env(config2)
+    model2 = PPO.load(config2, train_env, eval_env, str(tmp_path), None, [])
+    for leaf in jax.tree.leaves(model2.policy_state.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_run_provenance_capture(tmp_path):
+    """provenance.json + diff.patch land in the run dir (reference
+    `rl_x/runner/runner.py:301-320`, here wandb-independent)."""
+    import json
+
+    from rlx_tpu.runner.runner import Runner
+
+    runner = object.__new__(Runner)
+    config = tiny_config()
+    runner._log_run_provenance(config, str(tmp_path))
+    with open(tmp_path / "provenance.json") as f:
+        provenance = json.load(f)
+    assert "python_packages" in provenance and "jax" in provenance["python_packages"]
+    assert "git_commit_hash" in provenance
+    assert (tmp_path / "diff.patch").exists()
