@@ -49,6 +49,7 @@ class Ant(DeviceEnv):
         self.perturbation_velocity = perturbation_velocity
 
         self.model = load_mjcf(xml_path=ANT_XML, keyframe="home")
+        self.xml_path = ANT_XML  # offscreen render path (rlx_tpu.render)
         self.nominal_joint_positions = jnp.asarray(self.model.qpos0[7:])
         self.nr_joints = self.model.nv - 6
 

@@ -46,6 +46,7 @@ class LocomotionEnv:
         self.robot_dimensions_mean = self.robot_config["robot_dimensions_mean"]
 
         self.model = load_mjcf(xml_path=self.robot_config["xml_path"], keyframe="home")
+        self.xml_path = self.robot_config["xml_path"]  # offscreen render path
         m = self.model
         self.timestep = float(env_config.timestep) if env_config.timestep > 0 else m.timestep
         if abs(self.timestep - m.timestep) > 1e-9:

@@ -24,6 +24,7 @@ def get_config():
     # interrupted runs restore exactly (reference saves params only).
     config.save_optimizer_state = False
     config.nr_test_episodes = 10
+    config.render_video = ""  # test mode: offscreen rollout video (.mp4 or PNG dir)
 
     # Write a TensorBoard-viewable device trace of the whole run
     # (jax.profiler.trace) into this directory when set.

@@ -329,6 +329,13 @@ class Runner:
 
         try:
             model.test(config.runner.nr_test_episodes)
+            if config.runner.render_video:
+                from rlx_tpu.render import render_rollout
+
+                frames = render_rollout(model, config.runner.render_video)
+                rlx_logger.info(
+                    f"rendered {frames} frames to {config.runner.render_video}"
+                )
         finally:
             train_env.close()
             eval_env.close()
