@@ -88,12 +88,10 @@ RUNS = {
         "overrides": {
             "environment.nr_envs": 4096,
             "algorithm.nr_steps": 32,
-            "algorithm.minibatch_size": 4096 * 32 // 4,
+            "algorithm.nr_minibatches": 4,
             "algorithm.nr_epochs": 4,
             "algorithm.learning_rate": 3e-4,
-            "algorithm.policy_hidden_sizes": (512, 256, 128),
-            "algorithm.critic_hidden_sizes": (512, 256, 128),
-            "algorithm.activation": "elu",
+            "algorithm.rnn_hidden_dim": 128,
             "algorithm.logging_active": False,  # host callbacks unavailable on TPU tunnel
         },
     },
