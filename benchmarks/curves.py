@@ -113,6 +113,17 @@ for _name, _algo in [
         "budget": 100_000, "threshold": -500.0, "eval_points": 8,
         "overrides": dict(_PENDULUM_OFFPOLICY),
     }
+# FastSAC's locomotion recipe assumes O(1) per-step rewards; Pendulum's raw
+# returns (~-500 at gamma 0.97) need a matching categorical value support.
+RUNS["pendulum_spot_fastsac"]["overrides"].update({
+    "algorithm.v_min": -800.0, "algorithm.v_max": 100.0,
+})
+# MPO's E/M machinery is slow on small batches; give it the reference-scale
+# batch and a larger budget.
+RUNS["pendulum_spot_mpo"]["budget"] = 200_000
+RUNS["pendulum_spot_mpo"]["overrides"].update({
+    "algorithm.batch_size": 256,
+})
 RUNS["pendulum_spot_espo"] = {
     "algorithm": "espo.tpu", "environment": "classic.pendulum.tpu",
     "budget": 200_000, "threshold": -700.0, "eval_points": 8,
@@ -138,6 +149,13 @@ def run_ours(name, spec, device, seed):
     budget = spec["budget"]
     eval_freq = max(budget // spec["eval_points"], 1)
     overrides = dict(spec["overrides"])
+    # on-policy programs require the eval cadence to align with the rollout
+    # batch; round down to the nearest multiple
+    nr_steps = overrides.get("algorithm.nr_steps")
+    nr_envs = overrides.get("environment.nr_envs")
+    if nr_steps and nr_envs:
+        batch = nr_steps * nr_envs
+        eval_freq = max(eval_freq // batch, 1) * batch
     overrides.update({
         "algorithm.total_timesteps": budget,
         "algorithm.evaluation_and_save_frequency": eval_freq,

@@ -418,6 +418,8 @@ class OffPolicyAlgorithm:
         return model
 
     def test(self, episodes):
+        from rlx_tpu.algorithms.evaluation import collect_test_returns
+
         @jax.jit
         def rollout(env_state):
             action = self.eval_act(self.states, env_state.observation)
@@ -425,10 +427,4 @@ class OffPolicyAlgorithm:
 
         self.key, reset_key = jax.random.split(self.key)
         env_state = self.eval_env.reset(reset_key, eval_mode=True)
-        returns = []
-        for _ in range(episodes):
-            for _ in range(self.horizon):
-                env_state = rollout(env_state)
-            returns.append(float(jnp.mean(env_state.info["rollout/episode_return"])))
-            rlx_logger.info(f"eval/episode_return: {returns[-1]:.2f}")
-        return returns
+        return collect_test_returns(rollout, env_state, episodes, self.horizon)

@@ -464,7 +464,10 @@ class PPO:
         return model
 
     def test(self, episodes):
-        """Deterministic rollouts on the eval env; logs mean return."""
+        """Deterministic rollouts; collects ``episodes`` ACTUAL completed
+        episodes (reference nr_test_episodes semantics,
+        `ppo/flax/ppo.py:469-485`)."""
+        from rlx_tpu.algorithms.evaluation import collect_test_returns
 
         @jax.jit
         def rollout(env_state):
@@ -473,13 +476,7 @@ class PPO:
 
         self.key, reset_key = jax.random.split(self.key)
         env_state = self.eval_env.reset(reset_key, eval_mode=True)
-        returns = []
-        for _ in range(episodes):
-            for _ in range(self.horizon):
-                env_state = rollout(env_state)
-            returns.append(float(jnp.mean(env_state.info["rollout/episode_return"])))
-            rlx_logger.info(f"eval/episode_return: {returns[-1]:.2f}")
-        return returns
+        return collect_test_returns(rollout, env_state, episodes, self.horizon)
 
     def general_properties():
         return GeneralProperties

@@ -202,17 +202,18 @@ class PQN:
                     (critic_state, env_state, learn_key),
                     jnp.arange(self.nr_updates_per_eval_save_iteration),
                 )
+                eval_metrics = None
                 if self.evaluation_active:
-                    self._eval_iteration(critic_state, eval_key, outer_step)
+                    eval_metrics = self._eval_iteration(critic_state, eval_key, outer_step)
                 if self.save_model:
                     jax.debug.callback(self._save_callback, critic_state)
-                return (critic_state, env_state, key), None
+                return (critic_state, env_state, key), eval_metrics
 
-            final_carry, _ = jax.lax.scan(
+            final_carry, eval_history = jax.lax.scan(
                 eval_save_iteration, (self.critic_state, env_state, key),
                 jnp.arange(self.nr_eval_save_iterations),
             )
-            return final_carry[0]
+            return final_carry[0], eval_history
 
         return jitable_train_function
 
@@ -233,14 +234,23 @@ class PQN:
             "eval/episode_return": jnp.mean(eval_env_state.info["rollout/episode_return"]),
             "eval/episode_length": jnp.mean(eval_env_state.info["rollout/episode_length"]),
         }
-        jax.debug.callback(self._log_eval_callback, eval_metrics, outer_step)
+        if self.config.algorithm.logging_active:
+            jax.debug.callback(self._log_eval_callback, eval_metrics, outer_step)
+        return eval_metrics
 
     def train(self):
         train_function = jax.jit(self.build_train_function())
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        self.critic_state = jax.block_until_ready(train_function(run_key))
+        critic_state, eval_history = jax.block_until_ready(train_function(run_key))
+        self.critic_state = critic_state
+        # callback-free curve record (see ppo.py train())
+        self.eval_history = None
+        if eval_history is not None:
+            steps = (np.arange(self.nr_eval_save_iterations) + 1) * self.nr_updates_per_eval_save_iteration * self.batch_size
+            self.eval_history = {"steps": steps}
+            self.eval_history.update({k: np.asarray(v) for k, v in eval_history.items()})
         rlx_logger.info(f"Average time: {time.time() - start:.2f} s")
 
     # callbacks / persistence ------------------------------------------------
@@ -284,15 +294,11 @@ class PQN:
             ).astype(jnp.int32)
             return self.eval_env.step(env_state, action)
 
+        from rlx_tpu.algorithms.evaluation import collect_test_returns
+
         self.key, reset_key = jax.random.split(self.key)
         env_state = self.eval_env.reset(reset_key, eval_mode=True)
-        returns = []
-        for _ in range(episodes):
-            for _ in range(self.horizon):
-                env_state = rollout(env_state)
-            returns.append(float(jnp.mean(env_state.info["rollout/episode_return"])))
-            rlx_logger.info(f"eval/episode_return: {returns[-1]:.2f}")
-        return returns
+        return collect_test_returns(rollout, env_state, episodes, self.horizon)
 
     def general_properties():
         return GeneralProperties

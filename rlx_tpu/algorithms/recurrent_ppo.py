@@ -390,13 +390,12 @@ class RecurrentPPO:
             next_carry = mask_carry(next_carry, done)
             return env_state, next_carry
 
+        from rlx_tpu.algorithms.evaluation import collect_test_returns
+
         self.key, reset_key = jax.random.split(self.key)
         env_state = self.eval_env.reset(reset_key, eval_mode=True)
         carry = self.policy.initialize_carry(self.nr_envs)
-        returns = []
-        for _ in range(episodes):
-            for _ in range(self.horizon):
-                env_state, carry = rollout(env_state, carry)
-            returns.append(float(jnp.mean(env_state.info["rollout/episode_return"])))
-            rlx_logger.info(f"eval/episode_return: {returns[-1]:.2f}")
-        return returns
+        return collect_test_returns(
+            lambda c: rollout(*c), (env_state, carry), episodes, self.horizon,
+            extract=lambda c: c[0],
+        )
