@@ -13,7 +13,7 @@ from rlx_tpu.algorithms.c51.tpu.general_properties import GeneralProperties
 from rlx_tpu.algorithms.dqn.tpu.dqn import DQN
 from rlx_tpu.algorithms.train_state import RLTrainState
 from rlx_tpu.models.mlp import DiscreteQNet
-from rlx_tpu.ops.distributional import categorical_projection
+from rlx_tpu.ops.distributional import categorical_projection_dense as categorical_projection
 
 
 class C51(DQN):

@@ -17,7 +17,7 @@ from rlx_tpu.algorithms.sac.tpu.sac import SAC
 from rlx_tpu.models import distributions as D
 from rlx_tpu.models.mlp import VectorQCritic
 from rlx_tpu.ops import normalizers
-from rlx_tpu.ops.distributional import categorical_projection
+from rlx_tpu.ops.distributional import categorical_projection_dense as categorical_projection
 
 
 class FastSAC(SAC):

@@ -25,7 +25,7 @@ from rlx_tpu.algorithms.offpolicy import OffPolicyAlgorithm
 from rlx_tpu.algorithms.train_state import RLTrainState
 from rlx_tpu.models.mlp import DeterministicTanhPolicy, VectorQCritic
 from rlx_tpu.ops import normalizers
-from rlx_tpu.ops.distributional import categorical_projection
+from rlx_tpu.ops.distributional import categorical_projection_dense as categorical_projection
 
 
 class FastTD3(OffPolicyAlgorithm):

@@ -49,6 +49,27 @@ def categorical_projection(target_z, probs, v_min, v_max, nr_atoms):
     return projected.reshape(target_z.shape[:-1] + (nr_atoms,))
 
 
+def categorical_projection_dense(target_z, probs, v_min, v_max, nr_atoms):
+    """Scatter-free C51 projection (TPU default).
+
+    The classic formulation scatter-adds each mass onto its two neighbor
+    atoms — scatters serialize badly on TPU.  The same linear interpolation
+    is a dense hat-kernel contraction:
+
+        out[..., i] = sum_j clip(1 - |b_j - i|, 0, 1) * probs[..., j]
+
+    with ``b_j`` the fractional atom position of ``target_z_j``.  The
+    weight tensor is generated on the fly and contracted immediately
+    (VPU/MXU-friendly); mathematically identical to
+    ``categorical_projection`` (tests/test_distributional.py).
+    """
+    delta_z = (v_max - v_min) / (nr_atoms - 1)
+    b = (jnp.clip(target_z, v_min, v_max) - v_min) / delta_z      # [..., A_in]
+    atoms = jnp.arange(nr_atoms, dtype=probs.dtype)               # [A_out]
+    w = jnp.clip(1.0 - jnp.abs(b[..., None, :] - atoms[:, None]), 0.0, 1.0)
+    return jnp.einsum("...ij,...j->...i", w, probs)
+
+
 def hl_gauss_targets(values, v_min, v_max, nr_bins, sigma_ratio=0.75):
     """Histogram-loss-Gaussian target distribution for scalars ``values``
     [...] -> [..., nr_bins]: CDF-difference of a Gaussian centered at the
