@@ -11,9 +11,15 @@ subprocess on the same Gymnasium task with the same budget and records its
 eval curve next to ours — the reference env id is config-driven
 (`rl_x/environments/gym/mujoco/humanoid_v4/default_config.py:9`,
 `config.type`), so Hopper-v5 / HalfCheetah-v5 run through the reference's
-humanoid_v4 registration unchanged.  A no-op wandb shim
-(`benchmarks/_refshim/wandb.py`) satisfies the reference's unconditional
-wandb import.
+humanoid_v4 registration unchanged.  `benchmarks/_refshim/` holds the
+compat layer: a no-op wandb stub plus a launcher patching gymnasium 1.x
+API drift (autoreset modes, wrapper forwarding, final_info format).
+
+Practical note: the reference's host-loop style (one jitted call PER env
+step) needs a real CPU to keep up — on this round's 2-core dev box it runs
+~5 env-steps/s, so the recorded hopper/halfcheetah curves are ours-only
+with literature thresholds; rerun `--with-reference` on a normal host for
+the overlayed reference curve.
 
     python benchmarks/curves.py hopper_ppo --with-reference
     python benchmarks/curves.py pendulum_spot_td3
@@ -69,8 +75,10 @@ RUNS = {
         "budget": 300_000, "threshold": 800.0, "eval_points": 12,
         "overrides": {**_REF_PPO, "environment.nr_envs": 8},
         "reference": {
+            # nr_envs=1 is the reference's own default; its async wrapper
+            # predates gymnasium 1.2 (see _refshim/run_reference.py)
             "algorithm": "ppo.flax", "environment": "gym.mujoco.humanoid_v4",
-            "type": "Hopper-v5", "nr_envs": 8,
+            "type": "Hopper-v5", "nr_envs": 1,
         },
     },
     "halfcheetah_sac": {  # BASELINE config 3, head-to-head vs reference sac.flax
@@ -125,14 +133,20 @@ RUNS["pendulum_spot_mpo"]["overrides"].update({
     "algorithm.batch_size": 256,
 })
 RUNS["pendulum_spot_espo"] = {
+    # ESPO runs FULL-batch epochs (no minibatches), so it needs smaller
+    # rollouts + more epochs than PPO for the same number of grad steps
     "algorithm": "espo.tpu", "environment": "classic.pendulum.tpu",
-    "budget": 200_000, "threshold": -700.0, "eval_points": 8,
-    "overrides": dict(RUNS["pendulum_ppo"]["overrides"]),
+    "budget": 400_000, "threshold": -700.0, "eval_points": 4,
+    "overrides": {
+        "algorithm.nr_steps": 128, "algorithm.nr_epochs": 20,
+        "algorithm.learning_rate": 1e-3, "algorithm.gamma": 0.9,
+        "environment.nr_envs": 8,
+    },
 }
 for _name, _algo in [("dqn", "dqn.tpu"), ("pqn", "pqn.tpu")]:
     RUNS[f"cartpole_spot_{_name}"] = {
         "algorithm": _algo, "environment": "classic.cart_pole.tpu",
-        "budget": 100_000, "threshold": 250.0, "eval_points": 6,
+        "budget": 250_000, "threshold": 250.0, "eval_points": 6,
         "overrides": {"environment.nr_envs": 8},
     }
 
@@ -143,6 +157,13 @@ def run_ours(name, spec, device, seed):
     if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_matmul_precision", "float32")
+    else:
+        # big fused programs (locomotion + LSTM) compile slowly over the
+        # hosted-TPU tunnel; persist compiles across runs
+        cache_dir = os.environ.get("RLX_BENCH_CACHE", "/tmp/rlx_tpu_jax_cache")
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from rlx_tpu.config import create_model, make_config
 
@@ -190,7 +211,7 @@ def run_reference(spec, budget, eval_points, seed):
     env["PYTHONPATH"] = f"{shim}:{REFERENCE}"
     env["JAX_PLATFORMS"] = "cpu"
     cmd = [
-        sys.executable, f"{REFERENCE}/experiments/experiment.py",
+        sys.executable, os.path.join(shim, "run_reference.py"),
         "--runner.mode=train", f"--algorithm.name={ref['algorithm']}",
         f"--environment.name={ref['environment']}",
         f"--environment.type={ref['type']}",
