@@ -126,11 +126,15 @@ for _name, _algo in [
 RUNS["pendulum_spot_fastsac"]["overrides"].update({
     "algorithm.v_min": -800.0, "algorithm.v_max": 100.0,
 })
-# MPO's E/M machinery is slow on small batches; give it the reference-scale
-# batch and a larger budget.
-RUNS["pendulum_spot_mpo"]["budget"] = 200_000
+# MPO's E/M machinery needs a reference-like update:data ratio (the
+# reference runs 1 update / 4 env steps, `mpo/flax/default_config.py:24`);
+# at nr_envs=8 the fused loop gives only 1/8, so run fewer envs, plus the
+# reference-default observation normalizer.
+RUNS["pendulum_spot_mpo"]["budget"] = 150_000
 RUNS["pendulum_spot_mpo"]["overrides"].update({
     "algorithm.batch_size": 256,
+    "algorithm.enable_observation_normalization": True,
+    "environment.nr_envs": 4,
 })
 RUNS["pendulum_spot_espo"] = {
     # ESPO runs FULL-batch epochs (no minibatches), so it needs smaller
@@ -140,6 +144,7 @@ RUNS["pendulum_spot_espo"] = {
     "overrides": {
         "algorithm.nr_steps": 128, "algorithm.nr_epochs": 20,
         "algorithm.learning_rate": 1e-3, "algorithm.gamma": 0.9,
+        "algorithm.action_clipping_and_rescaling": True,  # Pendulum torque is [-2, 2]
         "environment.nr_envs": 8,
     },
 }
@@ -149,6 +154,15 @@ for _name, _algo in [("dqn", "dqn.tpu"), ("pqn", "pqn.tpu")]:
         "budget": 250_000, "threshold": 250.0, "eval_points": 6,
         "overrides": {"environment.nr_envs": 8},
     }
+# DQN's flat-task defaults decay epsilon over the FULL 250k budget (mean
+# eps ~0.5) and hard-refresh targets every 8k steps — recalibrate both to
+# the budget so greedy behavior gets train time (cleanrl-style 50% fraction).
+RUNS["cartpole_spot_dqn"]["overrides"].update({
+    "algorithm.epsilon_decay_steps": 125_000,
+    "algorithm.target_update_frequency": 2_000,
+    "algorithm.learning_rate": 1e-3,
+    "algorithm.batch_size": 128,
+})
 
 
 def run_ours(name, spec, device, seed):
