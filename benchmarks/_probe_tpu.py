@@ -23,16 +23,17 @@ def main():
     algo, env, nr_envs = sys.argv[1], sys.argv[2], int(sys.argv[3])
     nr_steps = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     do_eval = len(sys.argv) > 5 and sys.argv[5] == "eval"
+    iterations = int(sys.argv[6]) if len(sys.argv) > 6 else 3
     batch = nr_envs * nr_steps
     config = make_config(
         algo, env,
         **{
             "environment.nr_envs": nr_envs,
-            "algorithm.total_timesteps": 3 * batch,
+            "algorithm.total_timesteps": iterations * batch,
             "algorithm.nr_steps": nr_steps,
             "algorithm.nr_epochs": 2,
             "algorithm.evaluation_active": do_eval,
-            "algorithm.evaluation_and_save_frequency": 3 * batch if do_eval else -1,
+            "algorithm.evaluation_and_save_frequency": iterations * batch if do_eval else -1,
             "algorithm.logging_active": False,
         },
     )

@@ -178,6 +178,9 @@ def run_ours(name, spec, device, seed):
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        # tunneled transports drop single multi-minute device executions;
+        # chunked mode keeps each device call bounded (one eval interval)
+        spec["overrides"]["runner.chunked_train"] = True
 
     from rlx_tpu.config import create_model, make_config
 

@@ -286,54 +286,80 @@ class RecurrentPPO:
             jax.debug.callback(self._log_eval_callback, eval_metrics, combined_step)
         return eval_metrics
 
+    def _eval_save_iteration(self, carry, outer_step):
+        """One eval/save iteration: a block of learning iterations followed by
+        an optional eval rollout and checkpoint callback.  Used both as a
+        `lax.scan` body (fused mode) and as a standalone jitted step
+        (`runner.chunked_train` host loop)."""
+        policy_state, critic_state, env_state, policy_carry, key, best_return = carry
+        key, learn_key, eval_key = jax.random.split(key, 3)
+        (policy_state, critic_state, env_state, policy_carry, _), _ = jax.lax.scan(
+            partial(self._learning_iteration, outer_step=outer_step),
+            (policy_state, critic_state, env_state, policy_carry, learn_key),
+            jnp.arange(self.nr_updates_per_eval_save_iteration),
+        )
+        eval_metrics = None
+        is_best = jnp.asarray(False)
+        if self.evaluation_active:
+            eval_metrics = self._eval_iteration(policy_state, eval_key, outer_step)
+            is_best = eval_metrics["eval/episode_return"] > best_return
+            best_return = jnp.maximum(best_return, eval_metrics["eval/episode_return"])
+        if self.save_model:
+            jax.debug.callback(self._save_callback, policy_state, critic_state, is_best)
+        return (policy_state, critic_state, env_state, policy_carry, key, best_return), eval_metrics
+
+    def _init_train_carry(self, key):
+        key, reset_key = jax.random.split(key)
+        env_state = self.train_env.reset(reset_key, eval_mode=False)
+        env_state = mesh_lib.shard_batch(env_state, self.mesh)
+        policy_carry = self.policy.initialize_carry(self.nr_envs)
+        return (self.policy_state, self.critic_state, env_state, policy_carry, key, -jnp.inf)
+
     def build_train_function(self):
         def jitable_train_function(key):
-            key, reset_key = jax.random.split(key)
-            env_state = self.train_env.reset(reset_key, eval_mode=False)
-            env_state = mesh_lib.shard_batch(env_state, self.mesh)
-            policy_carry = self.policy.initialize_carry(self.nr_envs)
-
-            def eval_save_iteration(carry, outer_step):
-                policy_state, critic_state, env_state, policy_carry, key, best_return = carry
-                key, learn_key, eval_key = jax.random.split(key, 3)
-                (policy_state, critic_state, env_state, policy_carry, _), _ = jax.lax.scan(
-                    partial(self._learning_iteration, outer_step=outer_step),
-                    (policy_state, critic_state, env_state, policy_carry, learn_key),
-                    jnp.arange(self.nr_updates_per_eval_save_iteration),
-                )
-                eval_metrics = None
-                is_best = jnp.asarray(False)
-                if self.evaluation_active:
-                    eval_metrics = self._eval_iteration(policy_state, eval_key, outer_step)
-                    is_best = eval_metrics["eval/episode_return"] > best_return
-                    best_return = jnp.maximum(best_return, eval_metrics["eval/episode_return"])
-                if self.save_model:
-                    jax.debug.callback(self._save_callback, policy_state, critic_state, is_best)
-                return (policy_state, critic_state, env_state, policy_carry, key, best_return), eval_metrics
-
             final_carry, eval_history = jax.lax.scan(
-                eval_save_iteration,
-                (self.policy_state, self.critic_state, env_state, policy_carry, key, -jnp.inf),
+                self._eval_save_iteration,
+                self._init_train_carry(key),
                 jnp.arange(self.nr_eval_save_iterations),
             )
             return final_carry[0], final_carry[1], eval_history
 
         return jitable_train_function
 
-    def train(self):
-        train_function = jax.jit(self.build_train_function())
-        self.key, run_key = jax.random.split(self.key)
-        self._last_log_time = time.time()
-        start = time.time()
-        policy_state, critic_state, eval_history = jax.block_until_ready(train_function(run_key))
-        self.policy_state = policy_state
-        self.critic_state = critic_state
+    def _record_eval_history(self, eval_history):
         # callback-free curve record (see ppo.py train())
         self.eval_history = None
         if eval_history is not None:
             steps = (np.arange(self.nr_eval_save_iterations) + 1) * self.nr_updates_per_eval_save_iteration * self.batch_size
             self.eval_history = {"steps": steps}
             self.eval_history.update({k: np.asarray(v) for k, v in eval_history.items()})
+
+    def train(self):
+        self.key, run_key = jax.random.split(self.key)
+        self._last_log_time = time.time()
+        start = time.time()
+        if getattr(self.config.runner, "chunked_train", False):
+            # One bounded device call per eval/save iteration: identical
+            # semantics to the fused scan, but no single multi-minute XLA
+            # execution (tunneled-TPU transports drop those).
+            step_fn = jax.jit(self._eval_save_iteration, donate_argnums=0)
+            carry = jax.jit(self._init_train_carry)(run_key)
+            evals = []
+            for i in range(self.nr_eval_save_iterations):
+                carry, eval_metrics = step_fn(carry, jnp.asarray(i))
+                if eval_metrics is not None:
+                    evals.append(jax.tree.map(np.asarray, jax.block_until_ready(eval_metrics)))
+            carry = jax.block_until_ready(carry)
+            self.policy_state, self.critic_state = carry[0], carry[1]
+            eval_history = (
+                jax.tree.map(lambda *xs: np.stack(xs), *evals) if evals else None
+            )
+        else:
+            train_function = jax.jit(self.build_train_function())
+            policy_state, critic_state, eval_history = jax.block_until_ready(train_function(run_key))
+            self.policy_state = policy_state
+            self.critic_state = critic_state
+        self._record_eval_history(eval_history)
         rlx_logger.info(f"Average time: {time.time() - start:.2f} s")
 
     # ------------------------------------------------------------- callbacks

@@ -35,6 +35,13 @@ def get_config():
     config.jax_compilation_cache_dir = "/tmp/rlx_tpu_jax_cache"
     config.device = ""  # "", "cpu", "tpu" — "" keeps the default backend
 
+    # Chunked training: run each evaluation/save iteration as its own device
+    # call (host loop) instead of one fused scan over the full budget.  Same
+    # semantics; needed on tunneled TPUs where a single multi-minute XLA
+    # execution gets dropped by the transport, and useful for very long runs
+    # generally (keeps per-call execution bounded).
+    config.chunked_train = False
+
     # Device mesh ("dp", "tp"); dp = -1 means all remaining devices.
     config.mesh_dp = -1
     config.mesh_tp = 1
