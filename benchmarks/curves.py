@@ -148,7 +148,9 @@ RUNS["pendulum_spot_espo"] = {
         "environment.nr_envs": 8,
     },
 }
-for _name, _algo in [("dqn", "dqn.tpu"), ("pqn", "pqn.tpu")]:
+for _name, _algo in [("dqn", "dqn.tpu"), ("pqn", "pqn.tpu"),
+                     ("ddqn", "ddqn.tpu"), ("c51", "c51.tpu"),
+                     ("dqn_hl_gauss", "dqn_hl_gauss.tpu")]:
     RUNS[f"cartpole_spot_{_name}"] = {
         "algorithm": _algo, "environment": "classic.cart_pole.tpu",
         "budget": 250_000, "threshold": 250.0, "eval_points": 6,
@@ -157,11 +159,44 @@ for _name, _algo in [("dqn", "dqn.tpu"), ("pqn", "pqn.tpu")]:
 # DQN's flat-task defaults decay epsilon over the FULL 250k budget (mean
 # eps ~0.5) and hard-refresh targets every 8k steps — recalibrate both to
 # the budget so greedy behavior gets train time (cleanrl-style 50% fraction).
-RUNS["cartpole_spot_dqn"]["overrides"].update({
-    "algorithm.epsilon_decay_steps": 125_000,
-    "algorithm.target_update_frequency": 2_000,
-    "algorithm.learning_rate": 1e-3,
-    "algorithm.batch_size": 128,
+for _name in ["dqn", "ddqn", "c51", "dqn_hl_gauss"]:
+    RUNS[f"cartpole_spot_{_name}"]["overrides"].update({
+        "algorithm.epsilon_decay_steps": 125_000,
+        "algorithm.target_update_frequency": 2_000,
+        "algorithm.learning_rate": 1e-3,
+        "algorithm.batch_size": 128,
+    })
+RUNS["cartpole_spot_c51"]["overrides"].update({
+    "algorithm.v_min": 0.0, "algorithm.v_max": 500.0,  # CartPole return support
+})
+
+# ---- remaining continuous-control families on Pendulum --------------------
+for _name, _algo in [
+    ("sac", "sac.tpu"), ("fasttd3", "fasttd3.tpu"), ("aqe", "aqe.tpu"),
+]:
+    RUNS[f"pendulum_spot_{_name}"] = {
+        "algorithm": _algo, "environment": "classic.pendulum.tpu",
+        "budget": 100_000, "threshold": -500.0, "eval_points": 8,
+        "overrides": dict(_PENDULUM_OFFPOLICY),
+    }
+RUNS["pendulum_spot_fasttd3"]["overrides"].update({
+    "algorithm.v_min": -800.0, "algorithm.v_max": 100.0,  # see fastsac note
+})
+# On-policy variants at the tuned PPO pendulum recipe
+for _name, _algo in [("ppo_dtrl", "ppo_dtrl.tpu"), ("reppo", "reppo.tpu")]:
+    RUNS[f"pendulum_spot_{_name}"] = {
+        "algorithm": _algo, "environment": "classic.pendulum.tpu",
+        "budget": 300_000, "threshold": -700.0, "eval_points": 6,
+        "overrides": {
+            "algorithm.nr_steps": 256, "algorithm.learning_rate": 1e-3,
+            "algorithm.gamma": 0.9, "environment.nr_envs": 8,
+        },
+    }
+RUNS["pendulum_spot_ppo_dtrl"]["overrides"].update({
+    "algorithm.minibatch_size": 512, "algorithm.nr_epochs": 10,
+})
+RUNS["pendulum_spot_reppo"]["overrides"].update({
+    "algorithm.v_min": -800.0, "algorithm.v_max": 100.0,  # Pendulum return support
 })
 
 

@@ -56,6 +56,7 @@ def main():
     parser.add_argument("--envs_per_device", type=int, default=512)
     parser.add_argument("--nr_steps", type=int, default=32)
     parser.add_argument("--iterations", type=int, default=5)
+    parser.add_argument("--out", default="", help="write results JSON here")
     args = parser.parse_args()
 
     if args.virtual_cpu:
@@ -71,17 +72,30 @@ def main():
     nr_devices = len(jax.devices())
     dps = [d for d in (1, 2, 4, 8, 16, 32) if d <= nr_devices]
     results = {}
+    records = []
     for dp in dps:
         # weak scaling: constant work per device
         sps = measure_sps(args.env, dp, args.envs_per_device * dp, args.nr_steps, args.iterations)
         results[dp] = sps
         base = results[dps[0]]
         efficiency = sps / (base * dp / dps[0])
-        print(json.dumps({
+        record = {
             "dp": dp,
             "env_steps_per_s": round(sps),
             "scaling_efficiency_vs_dp1": round(efficiency, 3),
-        }), flush=True)
+        }
+        records.append(record)
+        print(json.dumps(record), flush=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({
+                "env": args.env,
+                "backend": jax.default_backend(),
+                "virtual_cpu": bool(args.virtual_cpu),
+                "envs_per_device": args.envs_per_device,
+                "nr_steps": args.nr_steps,
+                "weak_scaling": records,
+            }, f, indent=1)
 
 
 if __name__ == "__main__":
