@@ -90,6 +90,18 @@ RUNS = {
             "type": "HalfCheetah-v5", "nr_envs": 1,
         },
     },
+    "locomotion_ppo": {  # bisect control for config 5: plain PPO, same env/budget
+        "algorithm": "ppo.tpu", "environment": "locomotion.robot.tpu",
+        "budget": 50_000_000, "threshold": 0.5, "eval_points": 10,
+        "overrides": {
+            "environment.nr_envs": 4096,
+            "algorithm.nr_steps": 32,
+            "algorithm.minibatch_size": 32768,  # = 4096*32 / 4 minibatches
+            "algorithm.nr_epochs": 4,
+            "algorithm.learning_rate": 3e-4,
+            "algorithm.logging_active": False,
+        },
+    },
     "locomotion_lstm": {  # BASELINE config 5: PPO+LSTM, 4096 envs, device env
         "algorithm": "ppo_lstm.tpu", "environment": "locomotion.robot.tpu",
         "budget": 50_000_000, "threshold": 0.5, "eval_points": 10,

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rlx_tpu.algorithms.training_program import run_training_program
 from rlx_tpu.models.mlp import get_processed_action_function
 from rlx_tpu.ops import replay_buffer as rb
 from rlx_tpu.parallel import mesh as mesh_lib
@@ -62,7 +63,12 @@ class OffPolicyAlgorithm:
         self.eval_save_frequency = a.evaluation_and_save_frequency
         if self.eval_save_frequency == -1:
             self.eval_save_frequency = self.nr_envs * max(self.total_training_timesteps // self.nr_envs, 1)
-        self.nr_eval_save_iterations = max(self.total_training_timesteps // self.eval_save_frequency, 1)
+        # ceil so the full requested budget is trained (floor under-ran the
+        # last partial eval window, e.g. 100k budget / 12.5k freq with 5k
+        # learning starts trained only 92.5k steps)
+        self.nr_eval_save_iterations = max(
+            int(np.ceil(self.total_training_timesteps / self.eval_save_frequency)), 1
+        )
         self.nr_loggings_per_eval_save_iteration = max(self.eval_save_frequency // self.logging_frequency, 1)
         self.nr_updates_per_logging_iteration = max(self.logging_frequency // self.nr_envs, 1)
         if int(getattr(a, "buffer_size_per_env", 0)) > 0:
@@ -271,72 +277,76 @@ class OffPolicyAlgorithm:
             jax.debug.callback(self._log_eval_callback, eval_metrics, eval_save_iteration_step)
         return eval_metrics
 
+    def _init_train_carry(self, key):
+        key, reset_key = jax.random.split(key)
+        env_state = self.train_env.reset(reset_key, eval_mode=False)
+        env_state = mesh_lib.shard_batch(env_state, self.mesh)
+        buffer = self._make_buffer()
+
+        def prefill_step(carry, _):
+            env_state, buffer, key = carry
+            key, sample_key = jax.random.split(key)
+            if self.discrete:
+                action = jax.random.randint(
+                    sample_key, (self.nr_envs,), 0, self.nr_actions, dtype=jnp.int32
+                )
+            else:
+                action = jax.random.uniform(
+                    sample_key, (self.nr_envs, self.action_dim), minval=-1.0, maxval=1.0
+                )
+            observation = env_state.observation
+            env_state = self.train_env.step(env_state, self.process_action(action))
+            buffer = self._store_step(buffer, observation, action, env_state)
+            return (env_state, buffer, key), None
+
+        if self.prefill_iterations > 0:
+            (env_state, buffer, key), _ = jax.lax.scan(
+                prefill_step, (env_state, buffer, key), None, self.prefill_iterations
+            )
+        return (self.states, buffer, env_state, key, -jnp.inf)
+
+    def _eval_save_iteration(self, carry, eval_save_iteration_step):
+        states, buffer, env_state, key, best_return = carry
+        key, learn_key, eval_key = jax.random.split(key, 3)
+        (states, buffer, env_state, _), _ = jax.lax.scan(
+            partial(self._logging_iteration, eval_save_iteration_step=eval_save_iteration_step),
+            (states, buffer, env_state, learn_key),
+            jnp.arange(self.nr_loggings_per_eval_save_iteration),
+        )
+        eval_metrics = None
+        is_best = jnp.asarray(False)
+        if self.evaluation_active:
+            eval_metrics = self._eval_iteration(states, eval_key, eval_save_iteration_step)
+            is_best = eval_metrics["eval/episode_return"] > best_return
+            best_return = jnp.maximum(best_return, eval_metrics["eval/episode_return"])
+        if self.save_model:
+            jax.debug.callback(self._save_callback, states, is_best)
+        return (states, buffer, env_state, key, best_return), eval_metrics
+
     def build_train_function(self):
         def jitable_train_function(key):
-            key, reset_key = jax.random.split(key)
-            env_state = self.train_env.reset(reset_key, eval_mode=False)
-            env_state = mesh_lib.shard_batch(env_state, self.mesh)
-            buffer = self._make_buffer()
-
-            def prefill_step(carry, _):
-                env_state, buffer, key = carry
-                key, sample_key = jax.random.split(key)
-                if self.discrete:
-                    action = jax.random.randint(
-                        sample_key, (self.nr_envs,), 0, self.nr_actions, dtype=jnp.int32
-                    )
-                else:
-                    action = jax.random.uniform(
-                        sample_key, (self.nr_envs, self.action_dim), minval=-1.0, maxval=1.0
-                    )
-                observation = env_state.observation
-                env_state = self.train_env.step(env_state, self.process_action(action))
-                buffer = self._store_step(buffer, observation, action, env_state)
-                return (env_state, buffer, key), None
-
-            if self.prefill_iterations > 0:
-                (env_state, buffer, key), _ = jax.lax.scan(
-                    prefill_step, (env_state, buffer, key), None, self.prefill_iterations
-                )
-
-            def eval_save_iteration(carry, eval_save_iteration_step):
-                states, buffer, env_state, key, best_return = carry
-                key, learn_key, eval_key = jax.random.split(key, 3)
-                (states, buffer, env_state, _), _ = jax.lax.scan(
-                    partial(self._logging_iteration, eval_save_iteration_step=eval_save_iteration_step),
-                    (states, buffer, env_state, learn_key),
-                    jnp.arange(self.nr_loggings_per_eval_save_iteration),
-                )
-                eval_metrics = None
-                is_best = jnp.asarray(False)
-                if self.evaluation_active:
-                    eval_metrics = self._eval_iteration(states, eval_key, eval_save_iteration_step)
-                    is_best = eval_metrics["eval/episode_return"] > best_return
-                    best_return = jnp.maximum(best_return, eval_metrics["eval/episode_return"])
-                if self.save_model:
-                    jax.debug.callback(self._save_callback, states, is_best)
-                return (states, buffer, env_state, key, best_return), eval_metrics
-
-            final_carry, eval_history = jax.lax.scan(
-                eval_save_iteration,
-                (self.states, buffer, env_state, key, -jnp.inf),
+            return jax.lax.scan(
+                self._eval_save_iteration,
+                self._init_train_carry(key),
                 jnp.arange(self.nr_eval_save_iterations),
             )
-            return final_carry[0], eval_history
 
         return jitable_train_function
 
     def train(self):
-        train_function = jax.jit(self.build_train_function())
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        states, eval_history = jax.block_until_ready(train_function(run_key))
-        self.states = states
+        carry, eval_history = run_training_program(self, run_key)
+        self.states = carry[0]
         # callback-free curve record (see ppo.py train())
         self.eval_history = None
         if eval_history is not None:
-            steps = (np.arange(self.nr_eval_save_iterations) + 1) * self.eval_save_frequency
+            # x-axis in actual env interactions consumed: the random prefill
+            # (learning_starts) happens before the first recorded point
+            steps = self.learning_starts + (
+                np.arange(self.nr_eval_save_iterations) + 1
+            ) * self.eval_save_frequency
             self.eval_history = {"steps": steps}
             self.eval_history.update({k: np.asarray(v) for k, v in eval_history.items()})
         rlx_logger.info(f"Average time: {time.time() - start:.2f} s")

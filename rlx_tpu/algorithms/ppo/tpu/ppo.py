@@ -29,6 +29,7 @@ import numpy as np
 import optax
 from flax.training.train_state import TrainState
 
+from rlx_tpu.algorithms.training_program import run_training_program
 from rlx_tpu.algorithms.ppo.tpu.general_properties import GeneralProperties
 from rlx_tpu.environments.types import ActionSpaceType
 from rlx_tpu.models.policy_factory import make_critic, make_policy
@@ -349,52 +350,52 @@ class PPO:
             jax.debug.callback(self._log_eval_callback, eval_metrics, combined_step)
         return eval_metrics
 
+    def _init_train_carry(self, key):
+        key, reset_key = jax.random.split(key)
+        env_state = self.train_env.reset(reset_key, eval_mode=False)
+        env_state = mesh_lib.shard_batch(env_state, self.mesh)
+        return (self.policy_state, self.critic_state, env_state, key, -jnp.inf)
+
     def build_train_function(self):
-        """The whole training run as one jittable function of the seed key."""
+        """The whole training run as one jittable function of the seed key
+        (used directly by bench.py; train() adds the chunked option)."""
 
         def jitable_train_function(key):
-            key, reset_key = jax.random.split(key)
-            env_state = self.train_env.reset(reset_key, eval_mode=False)
-            env_state = mesh_lib.shard_batch(env_state, self.mesh)
-
-            def eval_save_iteration(carry, outer_step):
-                policy_state, critic_state, env_state, key, best_return = carry
-                key, learn_key, eval_key = jax.random.split(key, 3)
-
-                (policy_state, critic_state, env_state, _), _ = jax.lax.scan(
-                    partial(self._learning_iteration, outer_step=outer_step),
-                    (policy_state, critic_state, env_state, learn_key),
-                    jnp.arange(self.nr_updates_per_eval_save_iteration),
-                )
-                eval_metrics = None
-                is_best = jnp.asarray(False)
-                if self.evaluation_active:
-                    eval_metrics = self._eval_iteration(policy_state, eval_key, outer_step)
-                    # best-by-eval-return checkpoint (reference host loops
-                    # track best by running-mean return, `ppo/flax/ppo.py:350-356`)
-                    is_best = eval_metrics["eval/episode_return"] > best_return
-                    best_return = jnp.maximum(best_return, eval_metrics["eval/episode_return"])
-                if self.save_model:
-                    jax.debug.callback(self._save_callback, policy_state, critic_state, is_best)
-                return (policy_state, critic_state, env_state, key, best_return), eval_metrics
-
-            final_carry, eval_history = jax.lax.scan(
-                eval_save_iteration,
-                (self.policy_state, self.critic_state, env_state, key, -jnp.inf),
+            return jax.lax.scan(
+                self._eval_save_iteration,
+                self._init_train_carry(key),
                 jnp.arange(self.nr_eval_save_iterations),
             )
-            return final_carry[0], final_carry[1], eval_history
 
         return jitable_train_function
 
+    def _eval_save_iteration(self, carry, outer_step):
+        policy_state, critic_state, env_state, key, best_return = carry
+        key, learn_key, eval_key = jax.random.split(key, 3)
+
+        (policy_state, critic_state, env_state, _), _ = jax.lax.scan(
+            partial(self._learning_iteration, outer_step=outer_step),
+            (policy_state, critic_state, env_state, learn_key),
+            jnp.arange(self.nr_updates_per_eval_save_iteration),
+        )
+        eval_metrics = None
+        is_best = jnp.asarray(False)
+        if self.evaluation_active:
+            eval_metrics = self._eval_iteration(policy_state, eval_key, outer_step)
+            # best-by-eval-return checkpoint (reference host loops
+            # track best by running-mean return, `ppo/flax/ppo.py:350-356`)
+            is_best = eval_metrics["eval/episode_return"] > best_return
+            best_return = jnp.maximum(best_return, eval_metrics["eval/episode_return"])
+        if self.save_model:
+            jax.debug.callback(self._save_callback, policy_state, critic_state, is_best)
+        return (policy_state, critic_state, env_state, key, best_return), eval_metrics
+
     def train(self):
-        train_function = jax.jit(self.build_train_function())
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        policy_state, critic_state, eval_history = jax.block_until_ready(train_function(run_key))
-        self.policy_state = policy_state
-        self.critic_state = critic_state
+        carry, eval_history = run_training_program(self, run_key)
+        self.policy_state, self.critic_state = carry[0], carry[1]
         # callback-free curve record: [nr_eval_save_iterations] per metric,
         # measured in-program (works where host callbacks are unavailable)
         self.eval_history = None

@@ -23,6 +23,7 @@ from rlx_tpu.models.mlp import DiscreteQNet
 from rlx_tpu.parallel import mesh as mesh_lib
 from rlx_tpu.utils import checkpoint as ckpt
 from rlx_tpu.utils.logging import MetricsLogger, rlx_logger
+from rlx_tpu.algorithms.training_program import run_training_program
 
 
 class PQN:
@@ -188,32 +189,34 @@ class PQN:
             )
         return (critic_state, env_state, key), None
 
+    def _init_train_carry(self, key):
+        key, reset_key = jax.random.split(key)
+        env_state = self.train_env.reset(reset_key, eval_mode=False)
+        env_state = mesh_lib.shard_batch(env_state, self.mesh)
+        return (self.critic_state, env_state, key)
+
+    def _eval_save_iteration(self, carry, outer_step):
+        critic_state, env_state, key = carry
+        key, learn_key, eval_key = jax.random.split(key, 3)
+        (critic_state, env_state, _), _ = jax.lax.scan(
+            partial(self._learning_iteration, outer_step=outer_step),
+            (critic_state, env_state, learn_key),
+            jnp.arange(self.nr_updates_per_eval_save_iteration),
+        )
+        eval_metrics = None
+        if self.evaluation_active:
+            eval_metrics = self._eval_iteration(critic_state, eval_key, outer_step)
+        if self.save_model:
+            jax.debug.callback(self._save_callback, critic_state)
+        return (critic_state, env_state, key), eval_metrics
+
     def build_train_function(self):
         def jitable_train_function(key):
-            key, reset_key = jax.random.split(key)
-            env_state = self.train_env.reset(reset_key, eval_mode=False)
-            env_state = mesh_lib.shard_batch(env_state, self.mesh)
-
-            def eval_save_iteration(carry, outer_step):
-                critic_state, env_state, key = carry
-                key, learn_key, eval_key = jax.random.split(key, 3)
-                (critic_state, env_state, _), _ = jax.lax.scan(
-                    partial(self._learning_iteration, outer_step=outer_step),
-                    (critic_state, env_state, learn_key),
-                    jnp.arange(self.nr_updates_per_eval_save_iteration),
-                )
-                eval_metrics = None
-                if self.evaluation_active:
-                    eval_metrics = self._eval_iteration(critic_state, eval_key, outer_step)
-                if self.save_model:
-                    jax.debug.callback(self._save_callback, critic_state)
-                return (critic_state, env_state, key), eval_metrics
-
-            final_carry, eval_history = jax.lax.scan(
-                eval_save_iteration, (self.critic_state, env_state, key),
+            return jax.lax.scan(
+                self._eval_save_iteration,
+                self._init_train_carry(key),
                 jnp.arange(self.nr_eval_save_iterations),
             )
-            return final_carry[0], eval_history
 
         return jitable_train_function
 
@@ -239,12 +242,11 @@ class PQN:
         return eval_metrics
 
     def train(self):
-        train_function = jax.jit(self.build_train_function())
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        critic_state, eval_history = jax.block_until_ready(train_function(run_key))
-        self.critic_state = critic_state
+        carry, eval_history = run_training_program(self, run_key)
+        self.critic_state = carry[0]
         # callback-free curve record (see ppo.py train())
         self.eval_history = None
         if eval_history is not None:

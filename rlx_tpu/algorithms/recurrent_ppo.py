@@ -28,6 +28,7 @@ from flax.training.train_state import TrainState
 from rlx_tpu.models import distributions as D
 from rlx_tpu.models.mlp import VCritic, get_processed_action_function
 from rlx_tpu.models.recurrent import RecurrentPolicy, mask_carry
+from rlx_tpu.algorithms.training_program import run_training_program
 from rlx_tpu.ops.gae import gae_advantages
 from rlx_tpu.parallel import mesh as mesh_lib
 from rlx_tpu.utils import checkpoint as ckpt
@@ -317,12 +318,11 @@ class RecurrentPPO:
 
     def build_train_function(self):
         def jitable_train_function(key):
-            final_carry, eval_history = jax.lax.scan(
+            return jax.lax.scan(
                 self._eval_save_iteration,
                 self._init_train_carry(key),
                 jnp.arange(self.nr_eval_save_iterations),
             )
-            return final_carry[0], final_carry[1], eval_history
 
         return jitable_train_function
 
@@ -338,27 +338,8 @@ class RecurrentPPO:
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        if getattr(self.config.runner, "chunked_train", False):
-            # One bounded device call per eval/save iteration: identical
-            # semantics to the fused scan, but no single multi-minute XLA
-            # execution (tunneled-TPU transports drop those).
-            step_fn = jax.jit(self._eval_save_iteration, donate_argnums=0)
-            carry = jax.jit(self._init_train_carry)(run_key)
-            evals = []
-            for i in range(self.nr_eval_save_iterations):
-                carry, eval_metrics = step_fn(carry, jnp.asarray(i))
-                if eval_metrics is not None:
-                    evals.append(jax.tree.map(np.asarray, jax.block_until_ready(eval_metrics)))
-            carry = jax.block_until_ready(carry)
-            self.policy_state, self.critic_state = carry[0], carry[1]
-            eval_history = (
-                jax.tree.map(lambda *xs: np.stack(xs), *evals) if evals else None
-            )
-        else:
-            train_function = jax.jit(self.build_train_function())
-            policy_state, critic_state, eval_history = jax.block_until_ready(train_function(run_key))
-            self.policy_state = policy_state
-            self.critic_state = critic_state
+        carry, eval_history = run_training_program(self, run_key)
+        self.policy_state, self.critic_state = carry[0], carry[1]
         self._record_eval_history(eval_history)
         rlx_logger.info(f"Average time: {time.time() - start:.2f} s")
 

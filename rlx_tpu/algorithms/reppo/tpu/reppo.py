@@ -33,6 +33,7 @@ from rlx_tpu.ops.distributional import hl_gauss_expectation, hl_gauss_targets
 from rlx_tpu.parallel import mesh as mesh_lib
 from rlx_tpu.utils import checkpoint as ckpt
 from rlx_tpu.utils.logging import MetricsLogger, rlx_logger
+from rlx_tpu.algorithms.training_program import run_training_program
 
 
 class ReppoPolicy(nn.Module):
@@ -337,33 +338,34 @@ class REPPO:
 
         return (policy_state, critic_state, obs_normalizer, env_state, key), None
 
+    def _init_train_carry(self, key):
+        key, reset_key = jax.random.split(key)
+        env_state = self.train_env.reset(reset_key, eval_mode=False)
+        env_state = mesh_lib.shard_batch(env_state, self.mesh)
+        return (self.policy_state, self.critic_state, self.obs_normalizer, env_state, key)
+
+    def _eval_save_iteration(self, carry, outer_step):
+        policy_state, critic_state, obs_normalizer, env_state, key = carry
+        key, learn_key, eval_key = jax.random.split(key, 3)
+        (policy_state, critic_state, obs_normalizer, env_state, _), _ = jax.lax.scan(
+            partial(self._learning_iteration, outer_step=outer_step),
+            (policy_state, critic_state, obs_normalizer, env_state, learn_key),
+            jnp.arange(self.nr_updates_per_eval_save_iteration),
+        )
+        eval_metrics = None
+        if self.evaluation_active:
+            eval_metrics = self._eval_iteration(policy_state, obs_normalizer, eval_key, outer_step)
+        if self.save_model:
+            jax.debug.callback(self._save_callback, policy_state, critic_state)
+        return (policy_state, critic_state, obs_normalizer, env_state, key), eval_metrics
+
     def build_train_function(self):
         def jitable_train_function(key):
-            key, reset_key = jax.random.split(key)
-            env_state = self.train_env.reset(reset_key, eval_mode=False)
-            env_state = mesh_lib.shard_batch(env_state, self.mesh)
-
-            def eval_save_iteration(carry, outer_step):
-                policy_state, critic_state, obs_normalizer, env_state, key = carry
-                key, learn_key, eval_key = jax.random.split(key, 3)
-                (policy_state, critic_state, obs_normalizer, env_state, _), _ = jax.lax.scan(
-                    partial(self._learning_iteration, outer_step=outer_step),
-                    (policy_state, critic_state, obs_normalizer, env_state, learn_key),
-                    jnp.arange(self.nr_updates_per_eval_save_iteration),
-                )
-                eval_metrics = None
-                if self.evaluation_active:
-                    eval_metrics = self._eval_iteration(policy_state, obs_normalizer, eval_key, outer_step)
-                if self.save_model:
-                    jax.debug.callback(self._save_callback, policy_state, critic_state)
-                return (policy_state, critic_state, obs_normalizer, env_state, key), eval_metrics
-
-            final_carry, eval_history = jax.lax.scan(
-                eval_save_iteration,
-                (self.policy_state, self.critic_state, self.obs_normalizer, env_state, key),
+            return jax.lax.scan(
+                self._eval_save_iteration,
+                self._init_train_carry(key),
                 jnp.arange(self.nr_eval_save_iterations),
             )
-            return final_carry[0], final_carry[1], final_carry[2], eval_history
 
         return jitable_train_function
 
@@ -388,13 +390,11 @@ class REPPO:
         return eval_metrics
 
     def train(self):
-        train_function = jax.jit(self.build_train_function())
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        self.policy_state, self.critic_state, self.obs_normalizer, eval_history = jax.block_until_ready(
-            train_function(run_key)
-        )
+        carry, eval_history = run_training_program(self, run_key)
+        self.policy_state, self.critic_state, self.obs_normalizer = carry[0], carry[1], carry[2]
         # callback-free curve record (see ppo.py train())
         self.eval_history = None
         if eval_history is not None:

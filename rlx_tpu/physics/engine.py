@@ -295,11 +295,24 @@ def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contac
     omega_c = 1.0 / contact_timeconst
     if dr is not None and dr.contact_stiffness_scale is not None:
         omega_c = omega_c * dr.contact_stiffness_scale
+    dt = float(model.timestep)
     for c in range(len(model.con_body)):
         b = int(model.con_body[c])
         m_eff = float(model.con_meff[c])
-        stiffness = m_eff * omega_c**2
-        damping = 2.0 * contact_dampratio * m_eff * omega_c
+        # Gains are scheduled from the load-share mass (keeps standing
+        # penetration ~mm) but CAPPED at the explicit-integration stability
+        # bound of the contact's true apparent mass (con_m_app, the
+        # 1/(J M^-1 J^T) mass of a light distal link can be ~100x smaller
+        # than the load share — uncapped, the damper multiplies foot
+        # velocity by dt*d/m_app >> 1 per substep and the leg explodes).
+        m_app = float(model.con_m_app[c]) if len(model.con_m_app) else m_eff
+        # symplectic-Euler spring bound is k < 4 m/dt^2 (omega dt < 2); cap
+        # at 2 m/dt^2 so DR stiffness scaling cannot cross it.  The damper
+        # is explicit (dv = -dt*d/m * v per substep) and needs dt*d/m < 1.
+        stiffness = jnp.minimum(m_eff * omega_c**2, 2.0 * m_app / dt**2)
+        damping = jnp.minimum(
+            2.0 * contact_dampratio * m_eff * omega_c, 0.7 * m_app / dt
+        )
         x = ps[b] + bl.matvec_const(Rs[b], np.asarray(model.con_pos[c]))  # [3, B]
         ground = terrain_height_T(terrain, x[0], x[1]) if terrain is not None else 0.0
         depth = float(model.con_radius[c]) - (x[2] - ground)
@@ -312,7 +325,11 @@ def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contac
         mu = float(model.con_friction[c])
         if dr is not None and dr.friction_scale is not None:
             mu = mu * dr.friction_scale
-        scale = -mu * fn / (vt_norm + 1e-3)
+        # Coulomb magnitude, impulse-capped so one substep's friction can
+        # stop the tangential motion but never reverse it (explicit
+        # friction chatter is the other classic penalty-engine divergence)
+        f_mag = jnp.minimum(mu * fn, m_app * vt_norm / dt)
+        scale = -f_mag / (vt_norm + 1e-6)
         f = jnp.stack([scale * v_pt[0], scale * v_pt[1], fn])  # [3, B]
         F = jnp.concatenate([bl.cross(x, f), f])               # [6, B]
         Jb = bl.transpose(cols) * masks[b][None, :, None]          # [6, nv, B]
@@ -400,13 +417,24 @@ def _forward_dynamics_T(model, qposT, qvelT, ctrlT,
         frictionloss = frictionloss * dr.frictionloss_scale
     tau = tau - damping * qvelT
     tau = tau - frictionloss * jnp.tanh(qvelT / 0.05)
+    dt = float(model.timestep)
     for i in range(model.nbody):
         if int(model.jnt_type[i]) == HINGE and bool(model.jnt_limited[i]):
             qa, d = int(model.qpos_adr[i]), int(model.dof_adr[i])
             lo, hi = model.jnt_range[i]
             over_hi = jnp.maximum(qposT[qa] - float(hi), 0.0)
             under_lo = jnp.maximum(float(lo) - qposT[qa], 0.0)
-            tau = tau.at[d].add(limit_stiffness * (under_lo - over_hi))
+            # damp the limit spring while it is engaged (an undamped limit
+            # conserves the impact energy and a fast joint bounces between
+            # its limits forever); the damping coefficient is capped at the
+            # armature's explicit-integration stability bound
+            i_arm = float(model.dof_armature[d])
+            d_lim = min(2.0 * np.sqrt(limit_stiffness * i_arm), 0.7 * i_arm / dt)
+            engaged = (over_hi > 0.0) | (under_lo > 0.0)
+            tau = tau.at[d].add(
+                limit_stiffness * (under_lo - over_hi)
+                - jnp.where(engaged, d_lim * qvelT[d], 0.0)
+            )
 
     return bl.cholesky_solve(M, tau - C)
 

@@ -65,7 +65,10 @@ class PhysicsModel(NamedTuple):
     con_pos: np.ndarray        # [ncon, 3] point in body frame
     con_radius: np.ndarray     # [ncon]
     con_friction: np.ndarray   # [ncon] tangential friction coefficient
-    con_meff: np.ndarray       # [ncon] effective mass for penalty-gain scaling
+    con_meff: np.ndarray       # [ncon] load-share mass for penalty-gain scaling
+    con_m_app: np.ndarray      # [ncon] true apparent mass 1/(J_z M^-1 J_z^T) at
+                               # qpos0 — the integrator-stability mass of the
+                               # contact's normal direction (caps penalty gains)
     # geom table (ALL geoms incl. visual-only; for env-side FK queries of
     # named feet / collision spheres — reward shaping, not dynamics)
     geom_name: tuple           # [ngeom] static names ('' if unnamed)
@@ -198,6 +201,30 @@ def load_mjcf(xml_path: Optional[str] = None, xml_string: Optional[str] = None,
     elif m.nkey > 0:
         qpos0 = np.asarray(m.key_qpos[0], dtype=np.float64).copy()
 
+    # True apparent mass along the contact normal (world z) at the nominal
+    # pose: m_app = 1 / (J_z M^-1 J_z^T) with J_z the contact point's
+    # z-translation Jacobian row.  A foot at the end of a light leg has
+    # m_app ~ 100x smaller than the robot's load share; penalty gains must
+    # be capped against THIS mass or explicit integration of the contact
+    # damper diverges whenever the leg moves fast (the same quantity MuJoCo
+    # computes as diagApprox for constraint impedances).
+    con_m_app = []
+    if len(con_body) > 0:
+        d0 = mujoco.MjData(m)
+        d0.qpos[:] = qpos0
+        mujoco.mj_forward(m, d0)
+        for c in range(len(con_body)):
+            bid = int(con_body[c]) + 1  # mujoco body id (world offset)
+            xmat = d0.xmat[bid].reshape(3, 3)
+            point = d0.xpos[bid] + xmat @ np.asarray(con_pos[c])
+            jacp = np.zeros((3, m.nv))
+            mujoco.mj_jac(m, d0, jacp, None, point, bid)
+            jz = np.ascontiguousarray(jacp[2:3])
+            minv_jz = np.zeros_like(jz)
+            mujoco.mj_solveM(m, d0, minv_jz, jz)
+            inv_mass = float(jz[0] @ minv_jz[0])
+            con_m_app.append(1.0 / max(inv_mass, 1e-9))
+
     f32 = lambda x: np.asarray(x, dtype=np.float32)
     return PhysicsModel(
         nbody=nbody,
@@ -242,6 +269,7 @@ def load_mjcf(xml_path: Optional[str] = None, xml_string: Optional[str] = None,
             if len(con_body)
             else np.zeros(0)
         ),
+        con_m_app=f32(con_m_app) if len(con_body) else f32(np.zeros(0)),
         geom_name=tuple(
             (mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g) or "") for g in range(m.ngeom)
         ),

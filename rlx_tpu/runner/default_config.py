@@ -39,7 +39,9 @@ def get_config():
     # call (host loop) instead of one fused scan over the full budget.  Same
     # semantics; needed on tunneled TPUs where a single multi-minute XLA
     # execution gets dropped by the transport, and useful for very long runs
-    # generally (keeps per-call execution bounded).
+    # generally (keeps per-call execution bounded).  Supported by every
+    # algorithm family via rlx_tpu/algorithms/training_program.py; parity
+    # with the fused scan is pinned by tests/test_chunked_train.py.
     config.chunked_train = False
 
     # Device mesh ("dp", "tp"); dp = -1 means all remaining devices.
