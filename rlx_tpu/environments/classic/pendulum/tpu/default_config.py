@@ -10,5 +10,7 @@ def get_config(environment_name):
     config.nr_envs = 8
     config.horizon = 200
     config.render = False
+    # POMDP variant: hide the angular velocity (memory-suite validation)
+    config.mask_velocity = False
 
     return config

