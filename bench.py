@@ -69,10 +69,12 @@ def main():
     key = jax.random.PRNGKey(0)
 
     # compile + warm-up run (not measured)
-    jax.block_until_ready(train_function(key))
+    lowered = train_function.lower(key)
+    compiled = lowered.compile()
+    jax.block_until_ready(compiled(key))
 
     start = time.perf_counter()
-    jax.block_until_ready(train_function(jax.random.PRNGKey(1)))
+    jax.block_until_ready(compiled(jax.random.PRNGKey(1)))
     elapsed = time.perf_counter() - start
 
     sps = iterations * batch / elapsed
@@ -83,12 +85,120 @@ def main():
         "unit": "env-steps/s",
         "vs_baseline": round(sps / BASELINE_SPS, 3),
     }
+    extra = {}
+    if os.environ.get("RLX_BENCH_MFU", "1") != "0":
+        try:
+            extra.update(mfu_accounting(compiled, elapsed))
+        except Exception as e:
+            extra["mfu_error"] = str(e)[:200]
+    if os.environ.get("RLX_BENCH_PHASES", "1") != "0":
+        try:
+            extra.update(bench_phases(model, iterations))
+        except Exception as e:
+            extra["phases_error"] = str(e)[:200]
     if os.environ.get("RLX_BENCH_OFFPOLICY", "1") != "0":
         try:
-            result["extra"] = bench_offpolicy(env_name)
+            extra.update(bench_offpolicy(env_name))
         except Exception as e:  # the headline PPO number must survive
-            result["extra"] = {"offpolicy_error": str(e)[:200]}
+            extra["offpolicy_error"] = str(e)[:200]
+    if extra:
+        result["extra"] = extra
     print(json.dumps(result))
+
+
+# v5e (TPU v5 lite) peak: 197 TFLOP/s bf16 per chip (public spec); override
+# for other chips via RLX_BENCH_PEAK_TFLOPS.
+PEAK_TFLOPS = float(os.environ.get("RLX_BENCH_PEAK_TFLOPS", "197"))
+
+
+def mfu_accounting(compiled, elapsed):
+    """XLA cost-analysis FLOPs of the compiled whole-run program ->
+    achieved TFLOP/s and fraction of chip peak (MFU).
+
+    Note for RL: the training program is env-physics + small-MLP bound, so
+    MFU is expected to be far below LLM-class numbers — the point of
+    recording it is the roofline argument (what fraction of the remaining
+    time is actually FLOP-limited), VERDICT r2 weak #4.
+    """
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0]
+    flops = float(ca.get("flops", 0.0))
+    achieved = flops / elapsed
+    return {
+        "cost_analysis_gflops_per_run": round(flops / 1e9, 1),
+        "achieved_tflops": round(achieved / 1e12, 3),
+        "mfu_vs_peak": round(achieved / (PEAK_TFLOPS * 1e12), 5),
+    }
+
+
+def bench_phases(model, iterations):
+    """Per-phase steady-state timing: rollout (env physics + policy
+    inference) vs optimize (GAE + minibatch epochs), each as its own jitted
+    program over the same shapes the fused run uses.  The two phases cover
+    the whole learning iteration, so fused_ms ~ rollout_ms + update_ms; the
+    gap is the fusion benefit / scheduling overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    env = model.train_env
+    policy = model.policy
+
+    def rollout_prog(env_state, key):
+        def step(carry, _):
+            env_state, key = carry
+            key, sample_key = jax.random.split(key)
+            action, _ = policy.sample_and_log_prob(
+                model.policy_state.params, env_state.observation, sample_key
+            )
+            env_state = env.step(env_state, policy.process_action(action))
+            return (env_state, key), None
+
+        (env_state, key), _ = jax.lax.scan(step, (env_state, key), None, model.nr_steps)
+        return env_state
+
+    rollout_jit = jax.jit(rollout_prog, donate_argnums=0)
+    key = jax.random.PRNGKey(2)
+    env_state = jax.jit(lambda k: env.reset(k, eval_mode=False))(key)
+    env_state = jax.block_until_ready(rollout_jit(env_state, key))  # compile
+    start = time.perf_counter()
+    for _ in range(iterations):
+        env_state = rollout_jit(env_state, key)
+    jax.block_until_ready(env_state)
+    rollout_s = time.perf_counter() - start
+
+    obs_dim = model.os_shape[0]
+    action_dim = int(jnp.asarray(model.as_shape).prod())
+    B = model.batch_size
+
+    def update_prog(policy_state, critic_state, key):
+        batch = (
+            jax.random.normal(key, (B, obs_dim)),
+            jax.random.normal(key, (B, action_dim)),
+            jnp.zeros((B,)),
+            jnp.zeros((B,)),
+            jax.random.normal(key, (B,)),
+        )
+        policy_state, critic_state, _ = model._optimize(
+            policy_state, critic_state, batch, key
+        )
+        return policy_state, critic_state
+
+    update_jit = jax.jit(update_prog, donate_argnums=(0, 1))
+    ps, cs = jax.block_until_ready(
+        update_jit(model.policy_state, model.critic_state, key)
+    )  # compile
+    start = time.perf_counter()
+    for _ in range(iterations):
+        ps, cs = update_jit(ps, cs, key)
+    jax.block_until_ready((ps, cs))
+    update_s = time.perf_counter() - start
+
+    return {
+        "phase_rollout_ms_per_iteration": round(rollout_s / iterations * 1e3, 2),
+        "phase_update_ms_per_iteration": round(update_s / iterations * 1e3, 2),
+        "phase_rollout_only_env_steps_per_s": round(iterations * B / rollout_s),
+    }
 
 
 def bench_offpolicy(env_name, nr_envs=1024, iterations=512):
