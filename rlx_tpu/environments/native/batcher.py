@@ -157,3 +157,133 @@ class NativeEnvBatch:
         if self._handle:
             self._lib.envbatch_destroy(self._handle)
             self._handle = None
+
+
+# ---------------------------------------------------------------- mujoco
+
+_MJ_SO_PATH = os.path.join(_NATIVE_DIR, "libenvbatch_mujoco.so")
+_MJ_SRC_PATH = os.path.join(_NATIVE_DIR, "envbatch_mujoco.cpp")
+
+_mj_lib = None
+
+
+def _load_mujoco_library():
+    """Compile/load the MuJoCo batcher against the installed mujoco wheel's
+    C library (include/ + libmujoco.so.<ver> ship inside the package)."""
+    global _mj_lib
+    if _mj_lib is not None:
+        return _mj_lib
+    import mujoco
+
+    pkg_dir = os.path.dirname(os.path.abspath(mujoco.__file__))
+    include_dir = os.path.join(pkg_dir, "include")
+    libname = next(
+        f for f in sorted(os.listdir(pkg_dir)) if f.startswith("libmujoco.so")
+    )
+    if (not os.path.exists(_MJ_SO_PATH)) or (
+        os.path.getmtime(_MJ_SO_PATH) < os.path.getmtime(_MJ_SRC_PATH)
+    ):
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+             f"-I{include_dir}", "-o", _MJ_SO_PATH, _MJ_SRC_PATH,
+             f"-L{pkg_dir}", f"-l:{libname}", f"-Wl,-rpath,{pkg_dir}",
+             "-lpthread"],
+            check=True,
+            capture_output=True,
+        )
+    lib = ctypes.CDLL(_MJ_SO_PATH)
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.mjbatch_create.restype = ctypes.c_void_p
+    lib.mjbatch_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+    ]
+    for name in ["mjbatch_obs_dim", "mjbatch_act_dim", "mjbatch_horizon"]:
+        getattr(lib, name).restype = ctypes.c_int
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.mjbatch_ctrl_range.argtypes = [ctypes.c_void_p, f32p, f32p]
+    lib.mjbatch_reset.argtypes = [ctypes.c_void_p, f32p]
+    lib.mjbatch_step.argtypes = [ctypes.c_void_p, f32p, f32p, f32p, f32p, u8p, u8p, f32p]
+    lib.mjbatch_set_state.argtypes = [ctypes.c_void_p, ctypes.c_int, f64p, f64p]
+    lib.mjbatch_get_state.argtypes = [ctypes.c_void_p, ctypes.c_int, f64p, f64p]
+    lib.mjbatch_destroy.argtypes = [ctypes.c_void_p]
+    _mj_lib = lib
+    return lib
+
+
+def _gym_asset_path(task):
+    """MJCF shipped with gymnasium (same files Gym's own v5 envs load —
+    walker2d's v5 registration points at the revised walker2d_v5.xml)."""
+    import gymnasium.envs.mujoco as gm
+
+    assets = os.path.join(os.path.dirname(os.path.abspath(gm.__file__)), "assets")
+    filename = "walker2d_v5.xml" if task == "walker2d" else f"{task}.xml"
+    return os.path.join(assets, filename)
+
+
+class MujocoNativeEnvBatch(NativeEnvBatch):
+    """C++-vectorized Gym MuJoCo v5 tasks (hopper/half_cheetah/walker2d)."""
+
+    def __init__(self, task, nr_envs, seed=0, nr_threads=0, xml_path=None):
+        self._lib = _load_mujoco_library()
+        if xml_path is None:
+            xml_path = _gym_asset_path(task)
+        self._handle = self._lib.mjbatch_create(
+            xml_path.encode(), task.encode(), nr_envs, seed, nr_threads
+        )
+        if not self._handle:
+            raise ValueError(f"unknown native mujoco task '{task}' / bad xml {xml_path}")
+        self.env_id = task
+        self.nr_envs = nr_envs
+        self.horizon = self._lib.mjbatch_horizon(self._handle)
+        self._obs_dim = self._lib.mjbatch_obs_dim(self._handle)
+        self._discrete = False
+        act_dim = self._lib.mjbatch_act_dim(self._handle)
+        lo = np.empty(act_dim, np.float32)
+        hi = np.empty(act_dim, np.float32)
+        self._lib.mjbatch_ctrl_range(self._handle, lo, hi)
+        self.single_observation_space = BoxSpace(
+            low=-np.inf, high=np.inf, shape=(self._obs_dim,)
+        )
+        self.single_action_space = BoxSpace(low=lo, high=hi, shape=(act_dim,))
+
+    # host side (device-side protocol + io_callbacks inherited) -------------
+    def _host_reset(self, _seed):
+        obs = np.empty((self.nr_envs, self._obs_dim), np.float32)
+        self._lib.mjbatch_reset(self._handle, obs)
+        return obs
+
+    def _host_step(self, actions):
+        actions = np.ascontiguousarray(
+            np.asarray(actions, np.float32).reshape(self.nr_envs, -1)
+        )
+        obs = np.empty((self.nr_envs, self._obs_dim), np.float32)
+        final_obs = np.empty_like(obs)
+        reward = np.empty(self.nr_envs, np.float32)
+        term = np.empty(self.nr_envs, np.uint8)
+        trunc = np.empty(self.nr_envs, np.uint8)
+        stats = np.empty((self.nr_envs, 2), np.float32)
+        self._lib.mjbatch_step(
+            self._handle, actions, obs, final_obs, reward, term, trunc, stats
+        )
+        return obs, final_obs, reward, term.astype(bool), trunc.astype(bool), stats
+
+    # test hooks -------------------------------------------------------------
+    def set_state(self, env_index, qpos, qvel):
+        self._lib.mjbatch_set_state(
+            self._handle, env_index,
+            np.ascontiguousarray(qpos, np.float64),
+            np.ascontiguousarray(qvel, np.float64),
+        )
+
+    def get_state(self, env_index, nq, nv):
+        qpos = np.empty(nq, np.float64)
+        qvel = np.empty(nv, np.float64)
+        self._lib.mjbatch_get_state(self._handle, env_index, qpos, qvel)
+        return qpos, qvel
+
+    def close(self):
+        if self._handle:
+            self._lib.mjbatch_destroy(self._handle)
+            self._handle = None
