@@ -97,33 +97,36 @@ RUNS = {
             "type": "HalfCheetah-v5", "nr_envs": 1,
         },
     },
-    # Locomotion hyperparameters mirror the reference's own ppo_lstm recipe
-    # (`rl_x/algorithms/ppo_lstm/flax_full_jit/default_config.py:12-16`:
-    # nr_steps 128, 10 epochs, minibatch 32768, lr 4e-4 annealed — the
-    # reference trains it for 2e9 steps; 50M is this benchmark's budget).
+    # Metric: eval/episode_tracking = 1 - mean normalized |v - v_cmd| over
+    # the episode (the curriculum's own success measure) — "tracking reward"
+    # in the same normalized sense round-1's ant benchmark used.  Note the
+    # reference trains this env family for 2e9 steps with nr_steps=128
+    # (`ppo_lstm/flax_full_jit/default_config.py:11-16`); at this 50M budget
+    # the higher-update-frequency recipe below learns much faster (measured:
+    # ns=128/10-epoch recipe reaches 0.28 return vs 0.51 for ns=32/4).
     "locomotion_ppo": {  # bisect control for config 5: plain PPO, same env/budget
         "algorithm": "ppo.tpu", "environment": "locomotion.robot.tpu",
         "budget": 50_000_000, "threshold": 0.5, "eval_points": 10,
+        "metric": "eval/episode_tracking",
         "overrides": {
             "environment.nr_envs": 4096,
-            "algorithm.nr_steps": 128,
-            "algorithm.minibatch_size": 32768,
-            "algorithm.nr_epochs": 10,
-            "algorithm.learning_rate": 4e-4,
-            "algorithm.anneal_learning_rate": True,
+            "algorithm.nr_steps": 32,
+            "algorithm.minibatch_size": 32768,  # = 4096*32 / 4 minibatches
+            "algorithm.nr_epochs": 4,
+            "algorithm.learning_rate": 3e-4,
             "algorithm.logging_active": False,
         },
     },
     "locomotion_lstm": {  # BASELINE config 5: PPO+LSTM, 4096 envs, device env
         "algorithm": "ppo_lstm.tpu", "environment": "locomotion.robot.tpu",
         "budget": 50_000_000, "threshold": 0.5, "eval_points": 10,
+        "metric": "eval/episode_tracking",
         "overrides": {
             "environment.nr_envs": 4096,
-            "algorithm.nr_steps": 128,
-            "algorithm.nr_minibatches": 16,  # 4096*128 / 16 = 32768 samples
-            "algorithm.nr_epochs": 10,
-            "algorithm.learning_rate": 4e-4,
-            "algorithm.anneal_learning_rate": True,
+            "algorithm.nr_steps": 32,
+            "algorithm.nr_minibatches": 4,
+            "algorithm.nr_epochs": 4,
+            "algorithm.learning_rate": 3e-4,
             "algorithm.rnn_hidden_dim": 128,
             "algorithm.logging_active": False,  # host callbacks unavailable on TPU tunnel
         },
@@ -301,13 +304,17 @@ def run_ours(name, spec, device, seed):
     wall = time.time() - start
     hist = model.eval_history
     assert hist is not None, "evaluation_active run must produce eval_history"
+    metric = spec.get("metric", "eval/episode_return")
     out = {
         "steps": [int(s) for s in hist["steps"]],
-        "returns": [float(r) for r in hist["eval/episode_return"]],
+        "returns": [float(r) for r in hist[metric]],
+        "metric": metric,
         "wall_s": round(wall, 2),
     }
-    if "eval/episode_length" in hist:
-        out["episode_lengths"] = [float(x) for x in hist["eval/episode_length"]]
+    for extra_key, name in [("eval/episode_length", "episode_lengths"),
+                            ("eval/episode_return", "episode_returns")]:
+        if extra_key in hist and extra_key != metric:
+            out[name] = [float(x) for x in hist[extra_key]]
     return out
 
 

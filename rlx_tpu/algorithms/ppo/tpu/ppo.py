@@ -341,9 +341,12 @@ class PPO:
         (_, eval_env_state), _ = jax.lax.scan(
             single_eval_step, (policy_state, eval_env_state), None, self.horizon
         )
+        # every rollout/ info key becomes an eval metric (episode return/
+        # length everywhere; episode_tracking on the locomotion family)
         eval_metrics = {
-            "eval/episode_return": jnp.mean(eval_env_state.info["rollout/episode_return"]),
-            "eval/episode_length": jnp.mean(eval_env_state.info["rollout/episode_length"]),
+            "eval/" + k.split("rollout/", 1)[1]: jnp.mean(v)
+            for k, v in eval_env_state.info.items()
+            if k.startswith("rollout/")
         }
         if self.config.algorithm.logging_active:
             combined_step = (outer_step + 1) * self.nr_updates_per_eval_save_iteration

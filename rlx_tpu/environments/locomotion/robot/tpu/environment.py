@@ -333,6 +333,7 @@ class LocomotionEnv:
         info = {
             "rollout/episode_return": zeros,
             "rollout/episode_length": zeros,
+            "rollout/episode_tracking": zeros,
             "env_curriculum/coefficient": internal["env_curriculum_coeff"],
         }
         for name in self.reward_function_info_keys():
@@ -586,6 +587,14 @@ class LocomotionEnv:
         # --- curriculum update on done (`environment.py:343-357`) --------------
         mean_diff = episode_xy_diff / jnp.maximum(episode_length, 1.0)
         mean_norm_diff = mean_diff / jnp.maximum(internal["max_command_velocity"], 1e-6)
+        # normalized episode tracking quality in [0, 1]: 1 - mean |v - v_cmd|
+        # / v_max over the episode (the curriculum's own success measure) —
+        # the benchmark metric for "tracking reward" on this env family
+        info["rollout/episode_tracking"] = jnp.where(
+            done,
+            jnp.clip(1.0 - mean_norm_diff, 0.0, 1.0),
+            info["rollout/episode_tracking"],
+        )
         success = (mean_norm_diff <= self.curriculum_success_vel_diff) & (
             episode_length >= self.curriculum_success_length
         )
