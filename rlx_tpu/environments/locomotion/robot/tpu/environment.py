@@ -325,7 +325,12 @@ class LocomotionEnv:
             internal, jnp.ones(B, bool), k_terrain, k_init, k_dr, k_cmd_s, k_cmd, eval_mode
         )
 
-        physics = {"qpos": qpos, "qvel": qvel, "internal": internal}
+        physics = {
+            "qpos": qpos, "qvel": qvel, "internal": internal,
+            # stick-friction anchors carried across control steps (static
+            # friction holds across calls; see engine.contact_anchor_init)
+            "contact_anchor": engine.contact_anchor_init(self.model, qpos),
+        }
         observation, _ = self._observe(physics, jnp.zeros((B, self.nr_actuator_joints)), key)
 
         zeros = jnp.zeros(B)
@@ -525,9 +530,10 @@ class LocomotionEnv:
         targets = jax.vmap(lambda a: self.control_function.process_action(a, internal))(delayed)
         dp = self._domain_params(internal)
         terrain = self.terrain_function.engine_terrain(internal)
-        qpos, qvel = engine.step(
+        qpos, qvel, contact_anchor = engine.step(
             self.model, physics["qpos"], physics["qvel"], targets[0],
             nr_substeps=self.nr_substeps, dr=dp, terrain=terrain, ctrl_sequence=targets,
+            contact_state=physics["contact_anchor"],
         )
 
         # velocity clipping (`environment.py:413-415`)
@@ -622,8 +628,14 @@ class LocomotionEnv:
         pose_mask = done | (near_edge & ~done)
         new_qpos = tree_where(pose_mask, qpos_r, qpos)
         new_qvel = tree_where(pose_mask, qvel_r, qvel)
+        contact_anchor = tree_where(
+            pose_mask, engine.contact_anchor_init(self.model, new_qpos), contact_anchor
+        )
 
-        physics_out = {"qpos": new_qpos, "qvel": new_qvel, "internal": internal}
+        physics_out = {
+            "qpos": new_qpos, "qvel": new_qvel, "internal": internal,
+            "contact_anchor": contact_anchor,
+        }
         reset_obs, _ = self._observe(physics_out, jnp.zeros_like(action), k_reset_obs)
         new_observation = jnp.where(done[:, None], reset_obs, observation)
 

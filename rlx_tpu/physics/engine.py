@@ -279,23 +279,53 @@ def _dynamics_T(model: PhysicsModel, qposT, qvelT, dr: Optional[DomainParams] = 
     return M, C, Rs, ps, v_list, cols
 
 
+def contact_points_T(model, qposT):
+    """World xy of every engine contact point, [ncon, 2, B] (anchor init)."""
+    Rs, ps = _kinematics_T(model, qposT)
+    points = []
+    for c in range(len(model.con_body)):
+        b = int(model.con_body[c])
+        x = ps[b] + bl.matvec_const(Rs[b], np.asarray(model.con_pos[c]))
+        points.append(x[:2])
+    if not points:
+        return jnp.zeros((0, 2, qposT.shape[-1]))
+    return jnp.stack(points)
+
+
+def contact_anchor_init(model, qpos):
+    """Batch-first [B, ncon, 2] stick-friction anchors for ``qpos`` [B, nq]
+    (what an env stores in its physics state at reset)."""
+    return jnp.transpose(contact_points_T(model, qpos.T), (2, 0, 1))
+
+
 def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contact_dampratio,
-                   dr: Optional[DomainParams] = None, terrain: Optional[Terrain] = None):
-    """Generalized contact torques [nv, B] from penalty ground contacts.
+                   dr: Optional[DomainParams] = None, terrain: Optional[Terrain] = None,
+                   anchorsT=None):
+    """Generalized contact torques [nv, B] from penalty ground contacts,
+    plus updated stick-friction anchors.
 
     Ground is the plane z=0, or a per-env heightfield when ``terrain`` is
     given (contact normal stays vertical — a penalty-model approximation
     that matches the reference's reward-side ground queries and is accurate
     for the mild slopes the terrain generator emits).
+
+    Tangential friction is ANCHOR-BASED stick-slip: while a contact point
+    stays inside the friction cone it is held by a spring to the position
+    where it first touched (true static friction — no creep under load);
+    when the spring force exceeds mu*fn the anchor slides to the cone
+    boundary (kinetic friction).  A purely velocity-based Coulomb model
+    cannot produce static force at zero slip velocity, which makes feet
+    creep under stance load — fatal for velocity-tracking locomotion.
     """
     B = ps[0].shape[-1]
     tau = jnp.zeros((model.nv, B))
     if len(model.con_body) == 0:
-        return tau
+        return tau, anchorsT
     omega_c = 1.0 / contact_timeconst
     if dr is not None and dr.contact_stiffness_scale is not None:
         omega_c = omega_c * dr.contact_stiffness_scale
     dt = float(model.timestep)
+    new_anchors = []
     for c in range(len(model.con_body)):
         b = int(model.con_body[c])
         m_eff = float(model.con_meff[c])
@@ -321,20 +351,35 @@ def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contac
         v_pt = v_o + bl.cross(omega, x)
         fn = jnp.where(in_contact, stiffness * depth - damping * v_pt[2], 0.0)
         fn = jnp.maximum(fn, 0.0)
-        vt_norm = jnp.sqrt(v_pt[0] ** 2 + v_pt[1] ** 2)
         mu = float(model.con_friction[c])
         if dr is not None and dr.friction_scale is not None:
             mu = mu * dr.friction_scale
-        # Coulomb magnitude, impulse-capped so one substep's friction can
-        # stop the tangential motion but never reverse it (explicit
-        # friction chatter is the other classic penalty-engine divergence)
-        f_mag = jnp.minimum(mu * fn, m_app * vt_norm / dt)
-        scale = -f_mag / (vt_norm + 1e-6)
-        f = jnp.stack([scale * v_pt[0], scale * v_pt[1], fn])  # [3, B]
+        f_max = mu * fn
+
+        # tangential spring-damper to the anchor, clamped to the cone;
+        # gains at the same stability bounds as the normal direction
+        m_app_t = float(model.con_m_app_t[c]) if len(getattr(model, "con_m_app_t", [])) else m_app
+        kt = 0.3 * m_app_t / dt**2
+        ct = 0.4 * m_app_t / dt
+        anchor = anchorsT[c]                                   # [2, B]
+        anchor = jnp.where(in_contact[None], anchor, x[:2])    # track while free
+        disp = x[:2] - anchor
+        ft_raw = -(kt * disp + ct * v_pt[:2])                  # [2, B]
+        ft_norm = jnp.sqrt(ft_raw[0] ** 2 + ft_raw[1] ** 2)
+        cone = jnp.minimum(1.0, f_max / (ft_norm + 1e-9))
+        ft = ft_raw * cone
+        # sliding: project the anchor displacement onto the cone boundary
+        disp_norm = jnp.sqrt(disp[0] ** 2 + disp[1] ** 2)
+        max_disp = f_max / kt
+        disp_clamped = disp * jnp.minimum(1.0, max_disp / (disp_norm + 1e-9))
+        anchor = jnp.where(in_contact[None], x[:2] - disp_clamped, x[:2])
+        new_anchors.append(anchor)
+
+        f = jnp.stack([ft[0], ft[1], fn])                      # [3, B]
         F = jnp.concatenate([bl.cross(x, f), f])               # [6, B]
         Jb = bl.transpose(cols) * masks[b][None, :, None]          # [6, nv, B]
         tau = tau + (bl.transpose(Jb) * F[None, :, :]).sum(1)
-    return tau
+    return tau, jnp.stack(new_anchors)
 
 
 def forward_dynamics(model: PhysicsModel, qpos, qvel, ctrl,
@@ -342,7 +387,7 @@ def forward_dynamics(model: PhysicsModel, qpos, qvel, ctrl,
                      limit_stiffness=200.0, include_contacts=True,
                      dr=None, terrain=None):
     """Batched qacc [B, nv].  Public API is batch-first; internals batch-last."""
-    qaccT = _forward_dynamics_T(
+    qaccT, _ = _forward_dynamics_T(
         model, qpos.T, qvel.T, ctrl.T,
         contact_timeconst, contact_dampratio, limit_stiffness, include_contacts,
         dr, terrain,
@@ -390,16 +435,19 @@ def actuator_forces_T(model, qposT, qvelT, ctrlT, dr: Optional[DomainParams] = N
 
 def _forward_dynamics_T(model, qposT, qvelT, ctrlT,
                         contact_timeconst, contact_dampratio, limit_stiffness,
-                        include_contacts, dr=None, terrain=None):
+                        include_contacts, dr=None, terrain=None, anchorsT=None):
     M, C, Rs, ps, v_list, cols = _dynamics_T(model, qposT, qvelT, dr)
     masks = _ancestor_masks(model)
 
     tau = jnp.zeros_like(C)
     if include_contacts and len(model.con_body) > 0:
-        tau = tau + _contact_tau_T(
+        if anchorsT is None:
+            anchorsT = contact_points_T(model, qposT)
+        contact_tau, anchorsT = _contact_tau_T(
             model, Rs, ps, v_list, cols, masks, contact_timeconst, contact_dampratio,
-            dr, terrain,
+            dr, terrain, anchorsT,
         )
+        tau = tau + contact_tau
 
     # actuators
     act_force = actuator_forces_T(model, qposT, qvelT, ctrlT, dr)
@@ -436,7 +484,7 @@ def _forward_dynamics_T(model, qposT, qvelT, ctrlT,
                 - jnp.where(engaged, d_lim * qvelT[d], 0.0)
             )
 
-    return bl.cholesky_solve(M, tau - C)
+    return bl.cholesky_solve(M, tau - C), anchorsT
 
 
 def _integrate_T(model, qposT, qvelT, qaccT, dt):
@@ -457,30 +505,45 @@ def _integrate_T(model, qposT, qvelT, qaccT, dt):
 
 def step(model: PhysicsModel, qpos, qvel, ctrl, nr_substeps=1,
          contact_timeconst=0.015, contact_dampratio=1.0, limit_stiffness=200.0,
-         dr=None, terrain=None, ctrl_sequence=None):
+         dr=None, terrain=None, ctrl_sequence=None, contact_state=None):
     """Advance ``nr_substeps`` timesteps of ``model.timestep`` each.
 
     ``ctrl_sequence`` (optional, [nr_substeps, B, nu]) supplies a different
     control per substep — used for action-delay domain randomization
     (`robot_locomotion/mjx/environment.py:405-412` feeds per-substep delayed
     actions); otherwise ``ctrl`` [B, nu] is held for all substeps.
+
+    ``contact_state`` (optional, [B, ncon, 2]): stick-friction anchors
+    carried across control steps (see ``contact_anchor_init``).  When given,
+    the return is ``(qpos, qvel, new_contact_state)`` and static friction
+    holds across calls; when None, anchors are initialized from the entry
+    pose (stick within this call only) and the return stays ``(qpos, qvel)``.
     """
     dt = model.timestep
 
     def substep(carry, ctrlT):
-        qposT, qvelT = carry
-        qaccT = _forward_dynamics_T(
+        qposT, qvelT, anchorsT = carry
+        qaccT, anchorsT = _forward_dynamics_T(
             model, qposT, qvelT, ctrlT,
             contact_timeconst, contact_dampratio, limit_stiffness, True,
-            dr, terrain,
+            dr, terrain, anchorsT,
         )
-        return _integrate_T(model, qposT, qvelT, qaccT, dt), None
+        qposT, qvelT = _integrate_T(model, qposT, qvelT, qaccT, dt)
+        return (qposT, qvelT, anchorsT), None
 
     if ctrl_sequence is not None:
         xs = jnp.swapaxes(ctrl_sequence, 1, 2)  # [nr_substeps, nu, B]
     else:
         xs = jnp.broadcast_to(ctrl.T[None], (nr_substeps,) + ctrl.T.shape)
-    (qposT, qvelT), _ = jax.lax.scan(substep, (qpos.T, qvel.T), xs)
+    if contact_state is not None:
+        anchorsT = jnp.transpose(contact_state, (1, 2, 0))  # [ncon, 2, B]
+    else:
+        anchorsT = contact_points_T(model, qpos.T)
+    (qposT, qvelT, anchorsT), _ = jax.lax.scan(
+        substep, (qpos.T, qvel.T, anchorsT), xs
+    )
+    if contact_state is not None:
+        return qposT.T, qvelT.T, jnp.transpose(anchorsT, (2, 0, 1))
     return qposT.T, qvelT.T
 
 

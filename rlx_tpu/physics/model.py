@@ -69,6 +69,11 @@ class PhysicsModel(NamedTuple):
     con_m_app: np.ndarray      # [ncon] true apparent mass 1/(J_z M^-1 J_z^T) at
                                # qpos0 — the integrator-stability mass of the
                                # contact's normal direction (caps penalty gains)
+    con_m_app_t: np.ndarray    # [ncon] tangential apparent mass
+                               # min over x/y directions (a foot swings
+                               # sideways far more easily than it presses
+                               # down; tangential gains must respect THIS
+                               # mass or stick friction pumps energy)
     # geom table (ALL geoms incl. visual-only; for env-side FK queries of
     # named feet / collision spheres — reward shaping, not dynamics)
     geom_name: tuple           # [ngeom] static names ('' if unnamed)
@@ -209,6 +214,7 @@ def load_mjcf(xml_path: Optional[str] = None, xml_string: Optional[str] = None,
     # damper diverges whenever the leg moves fast (the same quantity MuJoCo
     # computes as diagApprox for constraint impedances).
     con_m_app = []
+    con_m_app_t = []
     if len(con_body) > 0:
         d0 = mujoco.MjData(m)
         d0.qpos[:] = qpos0
@@ -219,11 +225,12 @@ def load_mjcf(xml_path: Optional[str] = None, xml_string: Optional[str] = None,
             point = d0.xpos[bid] + xmat @ np.asarray(con_pos[c])
             jacp = np.zeros((3, m.nv))
             mujoco.mj_jac(m, d0, jacp, None, point, bid)
-            jz = np.ascontiguousarray(jacp[2:3])
-            minv_jz = np.zeros_like(jz)
-            mujoco.mj_solveM(m, d0, minv_jz, jz)
-            inv_mass = float(jz[0] @ minv_jz[0])
-            con_m_app.append(1.0 / max(inv_mass, 1e-9))
+            jacp = np.ascontiguousarray(jacp)
+            minv_jac = np.zeros_like(jacp)
+            mujoco.mj_solveM(m, d0, minv_jac, jacp)
+            inv_masses = [max(float(jacp[k] @ minv_jac[k]), 1e-9) for k in range(3)]
+            con_m_app.append(1.0 / inv_masses[2])
+            con_m_app_t.append(1.0 / max(inv_masses[0], inv_masses[1]))
 
     f32 = lambda x: np.asarray(x, dtype=np.float32)
     return PhysicsModel(
@@ -270,6 +277,7 @@ def load_mjcf(xml_path: Optional[str] = None, xml_string: Optional[str] = None,
             else np.zeros(0)
         ),
         con_m_app=f32(con_m_app) if len(con_body) else f32(np.zeros(0)),
+        con_m_app_t=f32(con_m_app_t) if len(con_body) else f32(np.zeros(0)),
         geom_name=tuple(
             (mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_GEOM, g) or "") for g in range(m.ngeom)
         ),
