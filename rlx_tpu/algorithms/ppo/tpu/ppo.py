@@ -65,10 +65,19 @@ class PPO:
         self.max_grad_norm = a.max_grad_norm
         self.evaluation_active = a.evaluation_active
 
-        if getattr(a, "nr_parallel_seeds", 1) > 1:
-            # Reference parity (`ppo/flax_full_jit/ppo.py:70-71`): vmapping the
-            # whole run over seeds conflicts with per-run logging/tracking.
-            raise ValueError("Parallel seeds are not supported yet (logging is per-run).")
+        # Parallel seeds: the reference CAPS this at 1 (`ppo/flax_full_jit/
+        # ppo.py:70-71` — per-run logging conflicts with vmap).  Here the
+        # whole training program (net init + env reset + train scan) vmaps
+        # over a seed axis on one chip — a TPU-native capability the
+        # reference doesn't have.  Logging/checkpoint callbacks cannot run
+        # under vmap, so those must be off.
+        self.nr_parallel_seeds = int(getattr(a, "nr_parallel_seeds", 1))
+        if self.nr_parallel_seeds > 1 and (a.logging_active or self.save_model):
+            raise ValueError(
+                "nr_parallel_seeds > 1 requires algorithm.logging_active=False "
+                "and runner.save_model=False (callbacks cannot run under vmap); "
+                "results are recorded per-seed in eval_history"
+            )
 
         self.batch_size = self.nr_envs * self.nr_steps
         self.nr_updates = self.total_timesteps // self.batch_size
@@ -129,17 +138,22 @@ class PPO:
                 optax.inject_hyperparams(optax.adam)(learning_rate=learning_rate),
             )
 
-        dummy_obs = jnp.zeros((1,) + self.os_shape, dtype=jnp.float32)
-        self.policy_state = TrainState.create(
-            apply_fn=self.policy.module.apply,
-            params=self.policy.module.init(policy_key, dummy_obs),
-            tx=make_tx(),
-        )
-        self.critic_state = TrainState.create(
-            apply_fn=self.critic.apply,
-            params=self.critic.init(critic_key, dummy_obs),
-            tx=make_tx(),
-        )
+        def make_train_states(policy_key, critic_key):
+            dummy_obs = jnp.zeros((1,) + self.os_shape, dtype=jnp.float32)
+            policy_state = TrainState.create(
+                apply_fn=self.policy.module.apply,
+                params=self.policy.module.init(policy_key, dummy_obs),
+                tx=make_tx(),
+            )
+            critic_state = TrainState.create(
+                apply_fn=self.critic.apply,
+                params=self.critic.init(critic_key, dummy_obs),
+                tx=make_tx(),
+            )
+            return policy_state, critic_state
+
+        self._make_train_states = make_train_states  # jittable (parallel seeds)
+        self.policy_state, self.critic_state = make_train_states(policy_key, critic_key)
         # Place training state on the mesh: replicated on a pure-dp mesh;
         # Dense kernels (and their adam moments) sharded over tp when tp > 1.
         if self.mesh.shape[mesh_lib.TP_AXIS] > 1:
@@ -393,13 +407,42 @@ class PPO:
             jax.debug.callback(self._save_callback, policy_state, critic_state, is_best)
         return (policy_state, critic_state, env_state, key, best_return), eval_metrics
 
+    def _train_parallel_seeds(self, run_key):
+        """vmap the ENTIRE training program (net init + env reset + train
+        scan) over ``nr_parallel_seeds`` independent seeds on one chip.
+        Returns (first-seed carry, eval_history with a leading seed axis)."""
+
+        def per_seed(key):
+            init_key, reset_key = jax.random.split(key)
+            policy_key, critic_key = jax.random.split(init_key)
+            policy_state, critic_state = self._make_train_states(policy_key, critic_key)
+            env_state = self.train_env.reset(reset_key, eval_mode=False)
+            env_state = mesh_lib.shard_batch(env_state, self.mesh)
+            carry = (policy_state, critic_state, env_state, key, -jnp.inf)
+            return jax.lax.scan(
+                self._eval_save_iteration, carry, jnp.arange(self.nr_eval_save_iterations)
+            )
+
+        seed_keys = jax.random.split(run_key, self.nr_parallel_seeds)
+        carries, eval_history = jax.block_until_ready(
+            jax.jit(jax.vmap(per_seed))(seed_keys)
+        )
+        first = jax.tree.map(lambda x: x[0], (carries[0], carries[1]))
+        return first, eval_history
+
     def train(self):
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        carry, eval_history = run_training_program(self, run_key)
-        self.policy_state, self.critic_state = carry[0], carry[1]
-        # callback-free curve record: [nr_eval_save_iterations] per metric,
+        if self.nr_parallel_seeds > 1:
+            (self.policy_state, self.critic_state), eval_history = (
+                self._train_parallel_seeds(run_key)
+            )
+        else:
+            carry, eval_history = run_training_program(self, run_key)
+            self.policy_state, self.critic_state = carry[0], carry[1]
+        # callback-free curve record: [nr_eval_save_iterations] per metric
+        # ([nr_parallel_seeds, nr_eval_save_iterations] with parallel seeds),
         # measured in-program (works where host callbacks are unavailable)
         self.eval_history = None
         if eval_history is not None:

@@ -162,3 +162,32 @@ def test_run_provenance_capture(tmp_path):
     assert "python_packages" in provenance and "jax" in provenance["python_packages"]
     assert "git_commit_hash" in provenance
     assert (tmp_path / "diff.patch").exists()
+
+
+def test_parallel_seeds_vmapped_training():
+    """nr_parallel_seeds > 1 vmaps the whole training program over seeds
+    (net init + env reset + train scan); eval_history gains a seed axis and
+    the seeds genuinely differ (reference caps this at 1,
+    `ppo/flax_full_jit/ppo.py:70-71`)."""
+    import numpy as np
+
+    from rlx_tpu.config import create_model, make_config
+
+    config = make_config(
+        "ppo.tpu", "classic.pendulum.tpu",
+        **{
+            "environment.nr_envs": 8, "algorithm.nr_steps": 8,
+            "algorithm.minibatch_size": 16, "algorithm.total_timesteps": 256,
+            "algorithm.evaluation_and_save_frequency": 128,
+            "algorithm.nr_parallel_seeds": 4,
+            "algorithm.logging_active": False,
+            "runner.save_model": False,
+        },
+    )
+    model = create_model(config)
+    model.train()
+    returns = model.eval_history["eval/episode_return"]
+    assert returns.shape == (4, 2)  # [seeds, eval points]
+    assert np.isfinite(returns).all()
+    # independent seeds must not produce identical runs
+    assert len({float(r) for r in returns[:, -1]}) > 1
