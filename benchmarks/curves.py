@@ -201,6 +201,9 @@ RUNS["cartpole_spot_c51"]["overrides"].update({
 # ---- remaining continuous-control families on Pendulum --------------------
 for _name, _algo in [
     ("sac", "sac.tpu"), ("fasttd3", "fasttd3.tpu"), ("aqe", "aqe.tpu"),
+    ("bro", "bro.tpu"), ("xqc", "xqc.tpu"), ("simba", "simba.tpu"),
+    ("simbav2", "simbav2.tpu"), ("flashsac", "flashsac.tpu"),
+    ("fastmpo", "fastmpo.tpu"),
 ]:
     RUNS[f"pendulum_spot_{_name}"] = {
         "algorithm": _algo, "environment": "classic.pendulum.tpu",
@@ -209,6 +212,17 @@ for _name, _algo in [
     }
 RUNS["pendulum_spot_fasttd3"]["overrides"].update({
     "algorithm.v_min": -800.0, "algorithm.v_max": 100.0,  # see fastsac note
+})
+# categorical/HL-Gauss critics need a value support that covers Pendulum's
+# raw returns (see the fastsac note above)
+for _name in ["xqc", "simbav2", "flashsac", "fastmpo"]:
+    RUNS[f"pendulum_spot_{_name}"]["overrides"].update({
+        "algorithm.v_min": -800.0, "algorithm.v_max": 100.0,
+    })
+# BRO's default recipe is tuned for UTD 10 resets on long runs; at a 100k
+# spot check disable the periodic resets so the curve is interpretable
+RUNS["pendulum_spot_bro"]["overrides"].update({
+    "algorithm.reset_interval": 10**9,
 })
 # On-policy variants at the tuned PPO pendulum recipe
 for _name, _algo in [("ppo_dtrl", "ppo_dtrl.tpu"), ("reppo", "reppo.tpu")]:
@@ -278,6 +292,9 @@ def run_ours(name, spec, device, seed):
         # tunneled transports drop single multi-minute device executions;
         # chunked mode keeps each device call bounded (one eval interval)
         spec["overrides"]["runner.chunked_train"] = True
+        # host callbacks (io_callback/debug.callback) are UNIMPLEMENTED on
+        # the axon TPU plugin: all logging must stay in-program
+        spec["overrides"]["algorithm.logging_active"] = False
 
     from rlx_tpu.config import create_model, make_config
 
