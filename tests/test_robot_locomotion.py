@@ -80,6 +80,7 @@ def test_robot_step_semantics(env, jit_step):
     assert not np.asarray(state.terminated).any()
 
 
+@pytest.mark.slow
 def test_robot_random_actions_stable(env, jit_step):
     state = env.reset(jax.random.PRNGKey(2))
     nu = env.single_action_space.shape[0]
@@ -148,6 +149,7 @@ def test_robot_domain_randomization_varies_across_envs(env):
     assert varied >= 2, "domain randomization produced identical envs"
 
 
+@pytest.mark.slow
 def test_biped_robot_stands_and_steps():
     """The 10-DoF biped (reference: unitree_g1 robot def) stands under PD
     at the home keyframe and stays finite under random actions."""
@@ -176,6 +178,7 @@ def test_biped_robot_stands_and_steps():
     assert np.isfinite(np.asarray(state.observation)).all()
 
 
+@pytest.mark.slow
 def test_ppo_on_robot_mesh_smoke():
     config = make_config(
         "ppo.tpu",

@@ -84,6 +84,7 @@ def test_soccer_reward_terms_in_info(env):
     assert np.asarray(eval_state.info["reward/feet_phase"]).min() > 0.0
 
 
+@pytest.mark.slow
 def test_ppo_gru_smoke_on_soccer():
     config = make_config(
         "ppo_gru.tpu",
@@ -104,6 +105,7 @@ def test_ppo_gru_smoke_on_soccer():
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.slow
 def test_deployment_conversion_matches_flax():
     """convert.py's param mapping: the torch GRU policy must reproduce the
     flax policy's action means step for step."""

@@ -38,6 +38,7 @@ def random_state(m, rng, free_height=3.0):
 
 
 @pytest.mark.parametrize("xml", [GO2_XML, G1_XML], ids=["go2", "g1"])
+@pytest.mark.slow
 def test_mass_matrix_and_bias_match_mujoco(xml):
     m = mujoco.MjModel.from_xml_path(xml)
     d = mujoco.MjData(m)
@@ -104,6 +105,7 @@ def test_robot_env_builds_and_steps(robot, nu, nf_groups):
 
 
 @pytest.mark.parametrize("robot", ["go2", "g1"])
+@pytest.mark.slow
 def test_home_pose_is_statically_stable(robot):
     """Standing at the home keyframe with nominal PD targets must stay
     upright for one simulated second."""
