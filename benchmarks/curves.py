@@ -194,9 +194,10 @@ for _name in ["dqn", "ddqn", "c51", "dqn_hl_gauss"]:
         "algorithm.learning_rate": 1e-3,
         "algorithm.batch_size": 128,
     })
-RUNS["cartpole_spot_c51"]["overrides"].update({
-    "algorithm.v_min": 0.0, "algorithm.v_max": 500.0,  # CartPole return support
-})
+for _name in ["c51", "dqn_hl_gauss"]:  # distributional heads need the
+    RUNS[f"cartpole_spot_{_name}"]["overrides"].update({
+        "algorithm.v_min": 0.0, "algorithm.v_max": 500.0,  # CartPole return support
+    })
 
 # ---- remaining continuous-control families on Pendulum --------------------
 for _name, _algo in [
@@ -214,8 +215,10 @@ RUNS["pendulum_spot_fasttd3"]["overrides"].update({
     "algorithm.v_min": -800.0, "algorithm.v_max": 100.0,  # see fastsac note
 })
 # categorical/HL-Gauss critics need a value support that covers Pendulum's
-# raw returns (see the fastsac note above)
-for _name in ["xqc", "simbav2", "flashsac", "fastmpo"]:
+# raw returns (see the fastsac note above).  NOT simbav2/flashsac: they
+# NORMALIZE rewards by the discounted-return scale, so their default +-5
+# support is already correct for the normalized returns.
+for _name in ["xqc", "fastmpo"]:
     RUNS[f"pendulum_spot_{_name}"]["overrides"].update({
         "algorithm.v_min": -800.0, "algorithm.v_max": 100.0,
     })
@@ -237,9 +240,15 @@ for _name, _algo in [("ppo_dtrl", "ppo_dtrl.tpu"), ("reppo", "reppo.tpu")]:
 RUNS["pendulum_spot_ppo_dtrl"]["overrides"].update({
     "algorithm.minibatch_size": 512, "algorithm.nr_epochs": 10,
 })
-RUNS["pendulum_spot_reppo"]["overrides"].update({
-    "algorithm.v_min": -800.0, "algorithm.v_max": 100.0,  # Pendulum return support
-})
+# REPPO runs near its own tuned regime (reference defaults: nr_steps 128,
+# lr 3e-4) — only gamma and the HL-Gauss support are adapted to Pendulum's
+# raw return scale at gamma 0.9 (~[-200, 0])
+RUNS["pendulum_spot_reppo"]["budget"] = 400_000
+RUNS["pendulum_spot_reppo"]["overrides"] = {
+    "algorithm.nr_steps": 128, "algorithm.gamma": 0.9,
+    "algorithm.v_min": -400.0, "algorithm.v_max": 50.0,
+    "environment.nr_envs": 8,
+}
 
 # ---- memory suite: velocity-masked Pendulum (POMDP) ------------------------
 # Observation is [cos th, sin th] only — th_dot must be reconstructed from
