@@ -14,7 +14,7 @@ import flax.linen as nn
 
 from rlx_tpu.algorithms.simbav2.tpu.general_properties import GeneralProperties
 from rlx_tpu.algorithms.xqc.tpu.xqc import XQC
-from rlx_tpu.models.layers import SimbaV2Encoder
+from rlx_tpu.models.layers import HyperHead, SimbaV2Encoder
 from rlx_tpu.ops import normalizers
 
 
@@ -31,8 +31,8 @@ class SimbaV2Policy(nn.Module):
         if self.observation_indices is not None:
             x = x[..., jnp.asarray(self.observation_indices)]
         x = SimbaV2Encoder(self.hidden_dim, self.nr_blocks)(x)
-        mean = nn.Dense(self.action_dim)(x)
-        log_std = nn.Dense(self.action_dim)(x)
+        mean = HyperHead(self.hidden_dim, self.action_dim)(x)
+        log_std = HyperHead(self.hidden_dim, self.action_dim)(x)
         log_std = self.log_std_min + (self.log_std_max - self.log_std_min) * 0.5 * (
             1.0 + jnp.tanh(log_std)
         )
@@ -51,7 +51,7 @@ class SimbaV2Critic(nn.Module):
             obs = obs[..., jnp.asarray(self.observation_indices)]
         x = jnp.concatenate([obs, action], axis=-1)
         x = SimbaV2Encoder(self.hidden_dim, self.nr_blocks)(x)
-        return nn.Dense(self.nr_atoms)(x)
+        return HyperHead(self.hidden_dim, self.nr_atoms)(x)
 
 
 class SimbaV2VectorCritic(nn.Module):

@@ -9,6 +9,7 @@
 from typing import Sequence
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 from flax.linen.initializers import constant, orthogonal
@@ -90,50 +91,97 @@ class Scaler(nn.Module):
 
 
 class HyperDense(nn.Module):
-    """Dense layer with unit-norm columns (weights live on the hypersphere)."""
+    """Dense layer with unit-norm columns (weights live on the hypersphere).
+
+    The reference keeps plain kernels and re-projects them after every
+    optimizer step (`simbav2/flax/layers.py:131-144` l2normalize_params);
+    normalizing inside the forward pass is the implicit equivalent (the
+    gradient flows through the normalization, same constraint set).
+    """
 
     features: int
 
     @nn.compact
     def __call__(self, x):
         kernel = self.param(
-            "kernel", nn.initializers.orthogonal(), (x.shape[-1], self.features)
+            "kernel", nn.initializers.orthogonal(column_axis=0), (x.shape[-1], self.features)
         )
         kernel = l2_normalize(kernel, axis=0)
         return x @ kernel
 
 
-class HyperLERPBlock(nn.Module):
-    """SimbaV2 residual block: hypersphere MLP + learnable-lerp merge, output
-    re-projected to the sphere."""
+class HyperEmbedder(nn.Module):
+    """Input -> hypersphere with a constant shift channel
+    (`simbav2/flax/layers.py:40-55`): appending c_shift before normalizing
+    keeps the input MAGNITUDE recoverable from the direction — without it
+    the first projection throws away ||x|| entirely (e.g. Pendulum's
+    angular velocity after obs normalization)."""
 
     hidden_dim: int
+    c_shift: float = 3.0
+
+    @nn.compact
+    def __call__(self, x):
+        shift = jnp.ones(x.shape[:-1] + (1,)) * self.c_shift
+        x = jnp.concatenate([x, shift], axis=-1)
+        x = l2_normalize(x)
+        x = HyperDense(self.hidden_dim)(x)
+        s = float(np.sqrt(2.0 / self.hidden_dim))
+        x = Scaler(self.hidden_dim, init=s, scale=s)(x)
+        return l2_normalize(x)
+
+
+class HyperLERPBlock(nn.Module):
+    """SimbaV2 residual block (`layers.py:57-94`): hypersphere MLP
+    (relu + eps, output re-normalized) merged by a learnable-scaler lerp,
+    result re-projected to the sphere."""
+
+    hidden_dim: int
+    nr_blocks: int = 1  # alpha_init = 1 / (nr_blocks + 1)
     expansion: int = 4
 
     @nn.compact
     def __call__(self, x):
         residual = x
+        s = float(np.sqrt(2.0 / self.hidden_dim) / np.sqrt(self.expansion))
         h = HyperDense(self.hidden_dim * self.expansion)(x)
-        h = Scaler(self.hidden_dim * self.expansion)(h)
-        h = nn.relu(h)
+        h = Scaler(self.hidden_dim * self.expansion, init=s, scale=s)(h)
+        h = nn.relu(h) + 1e-8
         h = HyperDense(self.hidden_dim)(h)
-        h = Scaler(self.hidden_dim)(h)
-        alpha = self.param("lerp_alpha", constant(0.5), (self.hidden_dim,))
-        out = residual + alpha * (h - residual)
-        return l2_normalize(out)
+        h = l2_normalize(h)
+        alpha = Scaler(
+            self.hidden_dim,
+            init=1.0 / (self.nr_blocks + 1),
+            scale=1.0 / float(np.sqrt(self.hidden_dim)),
+        )(h - residual)
+        return l2_normalize(residual + alpha)
+
+
+class HyperHead(nn.Module):
+    """Hypersphere output head (`layers.py:96-129`): HyperDense -> Scaler ->
+    HyperDense + bias."""
+
+    hidden_dim: int
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = HyperDense(self.hidden_dim)(x)
+        h = Scaler(self.hidden_dim, init=1.0, scale=1.0)(h)
+        out = HyperDense(self.out_dim)(h)
+        return out + self.param("bias", nn.initializers.zeros, (self.out_dim,))
 
 
 class SimbaV2Encoder(nn.Module):
     hidden_dim: int
     nr_blocks: int
+    c_shift: float = 3.0
 
     @nn.compact
     def __call__(self, x):
-        x = HyperDense(self.hidden_dim)(x)
-        x = Scaler(self.hidden_dim)(x)
-        x = l2_normalize(x)
+        x = HyperEmbedder(self.hidden_dim, self.c_shift)(x)
         for _ in range(self.nr_blocks):
-            x = HyperLERPBlock(self.hidden_dim)(x)
+            x = HyperLERPBlock(self.hidden_dim, nr_blocks=self.nr_blocks)(x)
         return x
 
 
