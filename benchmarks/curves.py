@@ -254,14 +254,17 @@ for _name, _algo in [("ppo_dtrl", "ppo_dtrl.tpu"), ("reppo", "reppo.tpu")]:
 RUNS["pendulum_spot_ppo_dtrl"]["overrides"].update({
     "algorithm.minibatch_size": 512, "algorithm.nr_epochs": 10,
 })
-# REPPO runs near its own tuned regime (reference defaults: nr_steps 128,
-# lr 3e-4) — only gamma and the HL-Gauss support are adapted to Pendulum's
-# raw return scale at gamma 0.9 (~[-200, 0])
-RUNS["pendulum_spot_reppo"]["budget"] = 400_000
+# REPPO is a massively-parallel recipe: its defaults assume 4096 envs x
+# 128 steps with 128 minibatches (`reppo/flax_full_jit/default_config.py`);
+# at 8 envs that is an 8-SAMPLE minibatch.  Spot-check it at a scaled-down
+# version of its own regime (256 envs, 4096-sample minibatches), with gamma
+# and the HL-Gauss support adapted to Pendulum's raw return scale.
+RUNS["pendulum_spot_reppo"]["budget"] = 4_000_000
 RUNS["pendulum_spot_reppo"]["overrides"] = {
-    "algorithm.nr_steps": 128, "algorithm.gamma": 0.9,
+    "algorithm.nr_steps": 128, "algorithm.nr_minibatches": 8,
+    "algorithm.gamma": 0.9,
     "algorithm.v_min": -400.0, "algorithm.v_max": 50.0,
-    "environment.nr_envs": 8,
+    "environment.nr_envs": 256,
 }
 
 # ---- memory suite: velocity-masked Pendulum (POMDP) ------------------------
