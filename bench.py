@@ -61,6 +61,9 @@ def main():
             "algorithm.critic_hidden_sizes": (512, 256, 128),
             "algorithm.activation": "elu",
             "algorithm.layer_norm": True,
+            # bf16 trunk compute (heads/loss/Adam stay f32); learning parity
+            # validated by benchmarks/results/locomotion_ppo_bf16.json
+            "algorithm.compute_dtype": os.environ.get("RLX_BENCH_DTYPE", "bfloat16"),
         },
     )
     model = create_model(config)

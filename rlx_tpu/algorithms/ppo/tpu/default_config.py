@@ -29,6 +29,9 @@ def get_config(algorithm_name):
     config.critic_hidden_sizes = (64, 64)
     config.activation = "tanh"
     config.layer_norm = False
+    # Trunk compute dtype ("float32" | "bfloat16"): bfloat16 halves activation
+    # HBM traffic on TPU; heads, distribution math, and Adam stay float32.
+    config.compute_dtype = "float32"
     config.evaluation_and_save_frequency = -1
     config.evaluation_active = True
     config.logging_active = True  # False: no in-program logging callbacks (bench)

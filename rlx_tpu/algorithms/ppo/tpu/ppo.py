@@ -187,14 +187,12 @@ class PPO:
             action, log_prob = self.policy.sample_and_log_prob(
                 policy_state.params, observation, action_key
             )
-            value = self.critic.apply(critic_state.params, observation).squeeze(-1)
             env_state = self.train_env.step(env_state, self.policy.process_action(action))
             transition = (
                 observation,
                 env_state.final_observation,
                 action,
                 env_state.reward,
-                value,
                 env_state.terminated,
                 log_prob,
                 env_state.info,
@@ -204,9 +202,15 @@ class PPO:
         (policy_state, critic_state, env_state, key), batch = jax.lax.scan(
             single_rollout_step, (policy_state, critic_state, env_state, key), None, self.nr_steps
         )
-        observations, final_observations, actions, rewards, values, terminations, log_probs, infos = batch
+        observations, final_observations, actions, rewards, terminations, log_probs, infos = batch
 
         # --- advantages ----------------------------------------------------
+        # Values are computed OUTSIDE the rollout scan in one batched call
+        # over [nr_steps * nr_envs] rows: critic params are constant during
+        # the rollout, so this is mathematically identical to the reference's
+        # per-step critic call (`ppo/flax_full_jit/ppo.py:139`) but runs one
+        # MXU-sized matmul instead of nr_steps small ones.
+        values = self.critic.apply(critic_state.params, observations).squeeze(-1)
         next_values = self.critic.apply(critic_state.params, final_observations).squeeze(-1)
         advantages, returns = gae_advantages(
             rewards, values, next_values, terminations, self.gamma, self.gae_lambda
@@ -279,66 +283,144 @@ class PPO:
 
     def _optimize(self, policy_state, critic_state, batch_arrays, key):
         """Minibatch-epochs PPO-Clip optimization (overridable: ESPO swaps in
-        early-stopped whole-batch epochs)."""
+        early-stopped whole-batch epochs).
+
+        Permutation semantics are reference-exact: per-epoch independent
+        permutations (`ppo/flax_full_jit/ppo.py:229-231`).  With shard-local
+        minibatching each dp shard permutes its own slice of the batch and
+        every minibatch takes an equal cut from each shard, so no gather ever
+        crosses devices (at dp=1 both paths coincide with the reference).
+
+        TPU layout: the five update arrays are packed into ONE [B, D] matrix
+        and each epoch's permutation is applied as a single row gather, after
+        which minibatches are contiguous slices consumed by ``lax.scan``.
+        Per-minibatch gathers of five separate arrays (three of them
+        scalar-row, i.e. 4-byte random accesses) cost 46.8 of the 93.5 ms
+        update phase on a v5e chip — packing removes ~45 ms/iteration
+        (measured by benchmarks/profile_update.py).  Minibatch contents and
+        order are bit-identical to the per-minibatch-gather formulation.
+        """
         batch_observations, batch_actions, batch_log_probs, batch_returns, batch_advantages = batch_arrays
         grad_loss_fn = jax.value_and_grad(self._loss_fn, argnums=(0, 1), has_aux=True)
 
-        # Per-epoch independent permutations, exactly as the reference
-        # (`ppo/flax_full_jit/ppo.py:229-231`) for curve parity.  With
-        # shard-local minibatching each dp shard permutes its own slice of the
-        # batch and every minibatch takes an equal cut from each shard, so the
-        # scan's gathers never cross devices (at dp=1 both paths coincide).
         key, perm_key = jax.random.split(key)
+        dp = self.dp_size
         if self.shard_local_minibatching:
-            dp = self.dp_size
             rows_per_shard = self.batch_size // dp
             mb_local = self.minibatch_size // dp
-            batch_indices = jnp.tile(jnp.arange(rows_per_shard), (self.nr_epochs, dp, 1))
-            batch_indices = jax.random.permutation(perm_key, batch_indices, axis=-1, independent=True)
-            batch_indices = batch_indices.reshape(self.nr_epochs, dp, self.nr_minibatches, mb_local)
-            batch_indices = jnp.moveaxis(batch_indices, 1, 2).reshape(
-                (self.nr_epochs * self.nr_minibatches, dp, mb_local)
-            )
-
-            def gather(x, mb_idx):
-                xb = x.reshape((dp, rows_per_shard) + x.shape[1:])
-                ix = mb_idx.reshape((dp, mb_local) + (1,) * (x.ndim - 1))
-                return jnp.take_along_axis(xb, ix, axis=1).reshape(
-                    (self.minibatch_size,) + x.shape[1:]
-                )
+            epoch_indices = jnp.tile(jnp.arange(rows_per_shard), (self.nr_epochs, dp, 1))
+            epoch_indices = jax.random.permutation(perm_key, epoch_indices, axis=-1, independent=True)
         else:
-            batch_indices = jnp.tile(jnp.arange(self.batch_size), (self.nr_epochs, 1))
-            batch_indices = jax.random.permutation(perm_key, batch_indices, axis=1, independent=True)
-            batch_indices = batch_indices.reshape(
-                (self.nr_epochs * self.nr_minibatches, self.minibatch_size)
+            epoch_indices = jnp.tile(jnp.arange(self.batch_size), (self.nr_epochs, 1))
+            epoch_indices = jax.random.permutation(perm_key, epoch_indices, axis=1, independent=True)
+
+        # --- pack [obs | action | log_prob | return | advantage] -----------
+        obs_dim = batch_observations.shape[-1] if batch_observations.ndim == 2 else None
+        packable = batch_observations.ndim == 2  # vision keeps per-mb gathers
+        if packable:
+            action_2d = batch_actions.reshape(self.batch_size, -1)
+            action_cols = action_2d.shape[1]
+            action_dtype = batch_actions.dtype
+            packed = jnp.concatenate(
+                [
+                    batch_observations,
+                    action_2d.astype(batch_observations.dtype),
+                    batch_log_probs[:, None],
+                    batch_returns[:, None],
+                    batch_advantages[:, None],
+                ],
+                axis=1,
             )
+            packed = mesh_lib.shard_batch(packed, self.mesh)
+            D = packed.shape[1]
 
-            def gather(x, mb_idx):
-                return x[mb_idx]
+            def unpack(mb):
+                o = mb[:, :obs_dim]
+                a = mb[:, obs_dim:obs_dim + action_cols].astype(action_dtype)
+                if batch_actions.ndim == 1:  # discrete scalar actions
+                    a = a.reshape(self.minibatch_size)
+                lp = mb[:, obs_dim + action_cols]
+                ret = mb[:, obs_dim + action_cols + 1]
+                adv = mb[:, obs_dim + action_cols + 2]
+                return o, a, lp, ret, adv
 
-        def minibatch_update(carry, minibatch_indices):
-            policy_state, critic_state = carry
-            mb_advantages = gather(batch_advantages, minibatch_indices)
-            mb_advantages = (mb_advantages - mb_advantages.mean()) / (mb_advantages.std() + 1e-8)
+            def epoch_minibatches(idx_e):
+                if self.shard_local_minibatching:
+                    xb = packed.reshape(dp, rows_per_shard, D)
+                    shuffled = jnp.take_along_axis(xb, idx_e[:, :, None], axis=1)
+                    shuffled = shuffled.reshape(dp, self.nr_minibatches, mb_local, D)
+                    return jnp.moveaxis(shuffled, 0, 1)  # [nr_mb, dp, mb_local, D]
+                shuffled = jnp.take(packed, idx_e, axis=0)
+                return shuffled.reshape(self.nr_minibatches, self.minibatch_size, D)
 
-            (loss, metrics), (policy_grads, critic_grads) = grad_loss_fn(
-                policy_state.params,
-                critic_state.params,
-                gather(batch_observations, minibatch_indices),
-                gather(batch_actions, minibatch_indices),
-                gather(batch_log_probs, minibatch_indices),
-                gather(batch_returns, minibatch_indices),
-                mb_advantages,
+            def minibatch_update(carry, mb_rows):
+                policy_state, critic_state = carry
+                obs_mb, action_mb, log_prob_mb, return_mb, adv_mb = unpack(
+                    mb_rows.reshape(self.minibatch_size, D)
+                )
+                adv_mb = (adv_mb - adv_mb.mean()) / (adv_mb.std() + 1e-8)
+                (loss, metrics), (policy_grads, critic_grads) = grad_loss_fn(
+                    policy_state.params, critic_state.params,
+                    obs_mb, action_mb, log_prob_mb, return_mb, adv_mb,
+                )
+                policy_state = policy_state.apply_gradients(grads=policy_grads)
+                critic_state = critic_state.apply_gradients(grads=critic_grads)
+                metrics["gradients/policy_grad_norm"] = optax.global_norm(policy_grads)
+                metrics["gradients/critic_grad_norm"] = optax.global_norm(critic_grads)
+                return (policy_state, critic_state), metrics
+
+            def epoch_step(carry, idx_e):
+                return jax.lax.scan(minibatch_update, carry, epoch_minibatches(idx_e))
+
+            (policy_state, critic_state), optimization_metrics = jax.lax.scan(
+                epoch_step, (policy_state, critic_state), epoch_indices
             )
-            policy_state = policy_state.apply_gradients(grads=policy_grads)
-            critic_state = critic_state.apply_gradients(grads=critic_grads)
-            metrics["gradients/policy_grad_norm"] = optax.global_norm(policy_grads)
-            metrics["gradients/critic_grad_norm"] = optax.global_norm(critic_grads)
-            return (policy_state, critic_state), metrics
+        else:
+            if self.shard_local_minibatching:
+                batch_indices = epoch_indices.reshape(
+                    self.nr_epochs, dp, self.nr_minibatches, mb_local
+                )
+                batch_indices = jnp.moveaxis(batch_indices, 1, 2).reshape(
+                    (self.nr_epochs * self.nr_minibatches, dp, mb_local)
+                )
 
-        (policy_state, critic_state), optimization_metrics = jax.lax.scan(
-            minibatch_update, (policy_state, critic_state), batch_indices
-        )
+                def gather(x, mb_idx):
+                    xb = x.reshape((dp, rows_per_shard) + x.shape[1:])
+                    ix = mb_idx.reshape((dp, mb_local) + (1,) * (x.ndim - 1))
+                    return jnp.take_along_axis(xb, ix, axis=1).reshape(
+                        (self.minibatch_size,) + x.shape[1:]
+                    )
+            else:
+                batch_indices = epoch_indices.reshape(
+                    (self.nr_epochs * self.nr_minibatches, self.minibatch_size)
+                )
+
+                def gather(x, mb_idx):
+                    return x[mb_idx]
+
+            def minibatch_update(carry, minibatch_indices):
+                policy_state, critic_state = carry
+                mb_advantages = gather(batch_advantages, minibatch_indices)
+                mb_advantages = (mb_advantages - mb_advantages.mean()) / (mb_advantages.std() + 1e-8)
+
+                (loss, metrics), (policy_grads, critic_grads) = grad_loss_fn(
+                    policy_state.params,
+                    critic_state.params,
+                    gather(batch_observations, minibatch_indices),
+                    gather(batch_actions, minibatch_indices),
+                    gather(batch_log_probs, minibatch_indices),
+                    gather(batch_returns, minibatch_indices),
+                    mb_advantages,
+                )
+                policy_state = policy_state.apply_gradients(grads=policy_grads)
+                critic_state = critic_state.apply_gradients(grads=critic_grads)
+                metrics["gradients/policy_grad_norm"] = optax.global_norm(policy_grads)
+                metrics["gradients/critic_grad_norm"] = optax.global_norm(critic_grads)
+                return (policy_state, critic_state), metrics
+
+            (policy_state, critic_state), optimization_metrics = jax.lax.scan(
+                minibatch_update, (policy_state, critic_state), batch_indices
+            )
         optimization_metrics = jax.tree.map(jnp.mean, optimization_metrics)
         optimization_metrics["lr/learning_rate"] = policy_state.opt_state[1].hyperparams["learning_rate"]
         return policy_state, critic_state, optimization_metrics

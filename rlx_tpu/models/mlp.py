@@ -10,7 +10,7 @@ cleanly onto the 128x128 MXU; activations are computed in the param dtype
 (bfloat16-friendly via the runner's default matmul precision).
 """
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import numpy as np
 import jax.numpy as jnp
@@ -33,6 +33,13 @@ class MLP(nn.Module):
 
     ``orthogonal_init=False`` keeps flax's default (lecun) init — the
     reference's off-policy nets use it (`sac/flax_full_jit/policy.py:31-38`).
+
+    ``dtype`` is the COMPUTE dtype (params stay float32): bfloat16 halves the
+    HBM traffic of the activation tensors, the dominant memory cost of the
+    update phase at RL batch sizes (measured ~8 ms/iteration on the flagship
+    bench, benchmarks/profile_update.py).  Gradients w.r.t. the float32
+    params come back float32 (the cast's backward is a cast), so Adam and the
+    optimizer state are unaffected.
     """
 
     hidden_sizes: Sequence[int]
@@ -41,17 +48,19 @@ class MLP(nn.Module):
     kernel_gain: float = float(np.sqrt(2))
     orthogonal_init: bool = True
     layer_norm_all: bool = False    # LayerNorm after every Dense (PQN/CrossQ-style)
+    dtype: Any = None               # compute dtype; None = float32
 
     @nn.compact
     def __call__(self, x):
         act = ACTIVATIONS[self.activation]
         for i, size in enumerate(self.hidden_sizes):
             if self.orthogonal_init:
-                x = nn.Dense(size, kernel_init=orthogonal(self.kernel_gain), bias_init=constant(0.0))(x)
+                x = nn.Dense(size, kernel_init=orthogonal(self.kernel_gain), bias_init=constant(0.0),
+                             dtype=self.dtype)(x)
             else:
-                x = nn.Dense(size)(x)
+                x = nn.Dense(size, dtype=self.dtype)(x)
             if self.layer_norm_all or (self.layer_norm and i == 0):
-                x = nn.LayerNorm()(x)
+                x = nn.LayerNorm(dtype=self.dtype)(x)
             x = act(x)
         return x
 
@@ -169,6 +178,7 @@ class GaussianPolicy(nn.Module):
     std_dev: float = 1.0
     observation_indices: Sequence[int] = None
     vision: bool = False  # NatureCNN encoder for IMAGES observations
+    dtype: Any = None     # trunk compute dtype; head + distribution stay f32
 
     @nn.compact
     def __call__(self, x):
@@ -177,7 +187,8 @@ class GaussianPolicy(nn.Module):
         else:
             if self.observation_indices is not None:
                 x = x[..., jnp.asarray(self.observation_indices)]
-            x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
+            x = MLP(self.hidden_sizes, self.activation, self.layer_norm, dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
         mean = nn.Dense(self.action_dim, kernel_init=orthogonal(0.01), bias_init=constant(0.0))(x)
         logstd = self.param("policy_logstd", constant(float(np.log(self.std_dev))), (1, self.action_dim))
         return mean, logstd
@@ -192,6 +203,7 @@ class CategoricalPolicy(nn.Module):
     layer_norm: bool = False
     observation_indices: Sequence[int] = None
     vision: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -200,7 +212,8 @@ class CategoricalPolicy(nn.Module):
         else:
             if self.observation_indices is not None:
                 x = x[..., jnp.asarray(self.observation_indices)]
-            x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
+            x = MLP(self.hidden_sizes, self.activation, self.layer_norm, dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
         return nn.Dense(self.nr_actions, kernel_init=orthogonal(0.01), bias_init=constant(0.0))(x)
 
 
@@ -212,6 +225,7 @@ class VCritic(nn.Module):
     layer_norm: bool = False
     observation_indices: Sequence[int] = None
     vision: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -220,7 +234,8 @@ class VCritic(nn.Module):
         else:
             if self.observation_indices is not None:
                 x = x[..., jnp.asarray(self.observation_indices)]
-            x = MLP(self.hidden_sizes, self.activation, self.layer_norm)(x)
+            x = MLP(self.hidden_sizes, self.activation, self.layer_norm, dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
         return nn.Dense(1, kernel_init=orthogonal(1.0), bias_init=constant(0.0))(x)
 
 

@@ -22,6 +22,12 @@ from rlx_tpu.models.mlp import (
 )
 
 
+def _compute_dtype(config):
+    """Trunk compute dtype from ``algorithm.compute_dtype`` (None = f32)."""
+    name = getattr(config.algorithm, "compute_dtype", "float32")
+    return jnp.bfloat16 if name == "bfloat16" else None
+
+
 class PolicyAdapter(NamedTuple):
     module: Any
     sample_and_log_prob: Callable  # (params, obs, key) -> (action, log_prob)
@@ -42,6 +48,7 @@ def make_policy(config, env):
     activation = config.algorithm.activation
     layer_norm = config.algorithm.layer_norm
     obs_indices = getattr(env, "policy_observation_indices", None)
+    dtype = _compute_dtype(config)
 
     if action_space_type == ActionSpaceType.CONTINUOUS:
         action_dim = int(jnp.prod(jnp.asarray(env.single_action_space.shape)))
@@ -53,6 +60,7 @@ def make_policy(config, env):
             std_dev=config.algorithm.std_dev,
             observation_indices=obs_indices,
             vision=vision,
+            dtype=dtype,
         )
         process = get_processed_action_function(
             config.algorithm.action_clipping_and_rescaling,
@@ -83,6 +91,7 @@ def make_policy(config, env):
             layer_norm=layer_norm,
             observation_indices=obs_indices,
             vision=vision,
+            dtype=dtype,
         )
         process = lambda a: a
 
@@ -112,4 +121,5 @@ def make_critic(config, env):
         layer_norm=config.algorithm.layer_norm,
         observation_indices=obs_indices,
         vision=env.general_properties.observation_space_type == ObservationSpaceType.IMAGES,
+        dtype=_compute_dtype(config),
     )

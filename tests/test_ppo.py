@@ -147,6 +147,87 @@ def test_ppo_best_model_checkpoint(tmp_path):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+@pytest.mark.parametrize("dp", [1, 8])
+def test_packed_minibatch_pipeline_matches_reference_gathers(dp):
+    """The packed single-gather-per-epoch pipeline (TPU fast path) must
+    produce IDENTICAL updates to the naive five-gathers-per-minibatch
+    formulation (the reference semantics, `ppo/flax_full_jit/ppo.py:229-231`)
+    — same permutation bits, same minibatch contents, same order."""
+    import optax
+
+    config = tiny_config(**{
+        "environment.nr_envs": 16,
+        "algorithm.nr_steps": 8,
+        "algorithm.minibatch_size": 32,
+        "algorithm.nr_epochs": 3,
+        "algorithm.total_timesteps": 16 * 8,
+        "runner.mesh_dp": dp,
+    })
+    model = create_model(config)
+    B = model.batch_size
+    obs_dim = model.os_shape[0]
+    action_dim = int(np.prod(model.as_shape))
+    k = jax.random.PRNGKey(7)
+    batch = (
+        jax.random.normal(k, (B, obs_dim)),
+        jax.random.normal(jax.random.fold_in(k, 1), (B, action_dim)),
+        jax.random.normal(jax.random.fold_in(k, 2), (B,)),
+        jax.random.normal(jax.random.fold_in(k, 3), (B,)),
+        jax.random.normal(jax.random.fold_in(k, 4), (B,)),
+    )
+    opt_key = jax.random.PRNGKey(11)
+    ps1, cs1, m1 = jax.jit(model._optimize)(model.policy_state, model.critic_state, batch, opt_key)
+
+    # naive reference formulation: same index generation, per-minibatch gathers
+    def reference_optimize(policy_state, critic_state, batch_arrays, key):
+        bo, ba, blp, bret, badv = batch_arrays
+        grad_loss_fn = jax.value_and_grad(model._loss_fn, argnums=(0, 1), has_aux=True)
+        key, perm_key = jax.random.split(key)
+        if model.shard_local_minibatching:
+            rows = B // dp
+            mb_local = model.minibatch_size // dp
+            idx = jnp.tile(jnp.arange(rows), (model.nr_epochs, dp, 1))
+            idx = jax.random.permutation(perm_key, idx, axis=-1, independent=True)
+            idx = idx.reshape(model.nr_epochs, dp, model.nr_minibatches, mb_local)
+            idx = jnp.moveaxis(idx, 1, 2).reshape((-1, dp, mb_local))
+
+            def gather(x, mb_idx):
+                xb = x.reshape((dp, rows) + x.shape[1:])
+                ix = mb_idx.reshape((dp, mb_local) + (1,) * (x.ndim - 1))
+                return jnp.take_along_axis(xb, ix, axis=1).reshape(
+                    (model.minibatch_size,) + x.shape[1:])
+        else:
+            idx = jnp.tile(jnp.arange(B), (model.nr_epochs, 1))
+            idx = jax.random.permutation(perm_key, idx, axis=1, independent=True)
+            idx = idx.reshape((-1, model.minibatch_size))
+
+            def gather(x, mb_idx):
+                return x[mb_idx]
+
+        def mb_update(carry, mb_idx):
+            policy_state, critic_state = carry
+            adv = gather(badv, mb_idx)
+            adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+            (_, metrics), (pg, cg) = grad_loss_fn(
+                policy_state.params, critic_state.params,
+                gather(bo, mb_idx), gather(ba, mb_idx), gather(blp, mb_idx),
+                gather(bret, mb_idx), adv)
+            return (policy_state.apply_gradients(grads=pg), critic_state.apply_gradients(grads=cg)), metrics
+
+        (policy_state, critic_state), metrics = jax.lax.scan(
+            mb_update, (policy_state, critic_state), idx)
+        return policy_state, critic_state, jax.tree.map(jnp.mean, metrics)
+
+    ps2, cs2, m2 = jax.jit(reference_optimize)(model.policy_state, model.critic_state, batch, opt_key)
+
+    for a, b in zip(jax.tree.leaves(ps1.params), jax.tree.leaves(ps2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(cs1.params), jax.tree.leaves(cs2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    for k2 in ("loss/policy_gradient_loss", "loss/critic_loss"):
+        np.testing.assert_allclose(np.asarray(m1[k2]), np.asarray(m2[k2]), rtol=1e-6)
+
+
 def test_run_provenance_capture(tmp_path):
     """provenance.json + diff.patch land in the run dir (reference
     `rl_x/runner/runner.py:301-320`, here wandb-independent)."""
