@@ -185,14 +185,20 @@ class OffPolicyAlgorithm:
                 **self.extra_buffer_fields(),
             },
         )
-        sharding = jax.sharding.NamedSharding(
-            self.mesh, jax.sharding.PartitionSpec(None, mesh_lib.DP_AXIS)
+        # packed storage is env-major [nr_envs, capacity, D]; dict fallback
+        # keeps [capacity, nr_envs, ...] — shard the env axis either way
+        if buffer.packed:
+            sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(mesh_lib.DP_AXIS)
+            )
+        else:
+            sharding = jax.sharding.NamedSharding(
+                self.mesh, jax.sharding.PartitionSpec(None, mesh_lib.DP_AXIS)
+            )
+        storage = jax.tree.map(
+            lambda arr: jax.lax.with_sharding_constraint(arr, sharding), buffer.storage
         )
-        data = {
-            name: jax.lax.with_sharding_constraint(arr, sharding)
-            for name, arr in buffer.data.items()
-        }
-        return buffer.replace(data=data)
+        return buffer.replace(storage=storage)
 
     def _store_step(self, buffer, observation, action, env_state):
         return rb.add(

@@ -55,13 +55,75 @@ def test_shard_local_sampling_stratifies_envs():
     buffer = rb.create(4, 8, {"observation": ((1,), jnp.float32), "next_observation": ((1,), jnp.float32)})
     # mark each env with its index
     data = {k: jnp.broadcast_to(jnp.arange(8.0)[None, :, None], (4, 8, 1)) for k in buffer.data}
-    buffer = buffer.replace(data=data, size=jnp.asarray(4, jnp.int32))
+    buffer = rb.set_data(buffer, data).replace(size=jnp.asarray(4, jnp.int32))
     batch = rb.sample(buffer, jax.random.PRNGKey(0), 16, shard_local=True, dp_size=4)
     env_ids = np.asarray(batch["observation"][:, 0])
     # index i reads shard i % 4 => env in [2*(i%4), 2*(i%4)+1]
     for i, e in enumerate(env_ids):
         shard = i % 4
         assert 2 * shard <= e <= 2 * shard + 1
+
+
+def test_packed_and_fallback_layouts_agree():
+    """Flat fields pack into one [capacity, nr_envs, D] array (single-gather
+    sampling); image-shaped fields fall back to dict-of-arrays.  Both layouts
+    must expose identical .data and identical samples."""
+    specs = {
+        "observation": ((3,), jnp.float32),
+        "next_observation": ((3,), jnp.float32),
+        "action": ((), jnp.int32),
+        "reward": ((), jnp.float32),
+        "terminated": ((), jnp.float32),
+        "truncated": ((), jnp.float32),
+    }
+    packed = rb.create(4, 2, specs)
+    assert packed.packed
+    image_specs = dict(specs, observation=((4, 4, 2), jnp.uint8),
+                       next_observation=((4, 4, 2), jnp.uint8))
+    fallback = rb.create(4, 2, image_specs)
+    assert not fallback.packed
+
+    for i in range(3):
+        tr = row(float(i))
+        tr["action"] = jnp.full((2,), i, jnp.int32)
+        packed = rb.add(packed, tr)
+        tr_img = dict(tr)
+        tr_img["observation"] = jnp.full((2, 4, 4, 2), i, jnp.uint8)
+        tr_img["next_observation"] = jnp.full((2, 4, 4, 2), i, jnp.uint8)
+        fallback = rb.add(fallback, tr_img)
+
+    assert packed.data["action"].dtype == jnp.int32
+    np.testing.assert_allclose(np.asarray(packed.data["reward"][:3, 0]), [0, 1, 2])
+    b1 = rb.sample(packed, jax.random.PRNGKey(3), 64, shard_local=False)
+    b2 = rb.sample(fallback, jax.random.PRNGKey(3), 64, shard_local=False)
+    assert b1["action"].dtype == jnp.int32
+    np.testing.assert_allclose(np.asarray(b1["reward"]), np.asarray(b2["reward"]))
+    assert b2["observation"].shape == (64, 4, 4, 2) and b2["observation"].dtype == jnp.uint8
+
+
+def test_nstep_packed_matches_fallback():
+    """Packed-mode n-step (one [batch, n]-row gather) must reproduce the
+    per-field-gather fallback exactly."""
+    specs = {
+        "observation": ((3,), jnp.float32),
+        "next_observation": ((3,), jnp.float32),
+        "action": ((1,), jnp.float32),
+        "reward": ((), jnp.float32),
+        "terminated": ((), jnp.float32),
+        "truncated": ((), jnp.float32),
+    }
+    packed = rb.create(8, 2, specs)
+    rng = np.random.RandomState(0)
+    for i in range(11):  # wraps capacity 8
+        tr = row(float(i))
+        tr["reward"] = jnp.asarray(rng.randn(2).astype(np.float32))
+        tr["terminated"] = jnp.asarray((rng.rand(2) < 0.3).astype(np.float32))
+        packed = rb.add(packed, tr)
+    fallback = packed.replace(storage=dict(packed.data), layout=None)
+    b1 = rb.sample_nstep(packed, jax.random.PRNGKey(5), 128, n_step=3, gamma=0.9, shard_local=False)
+    b2 = rb.sample_nstep(fallback, jax.random.PRNGKey(5), 128, n_step=3, gamma=0.9, shard_local=False)
+    for k in b1:
+        np.testing.assert_allclose(np.asarray(b1[k]), np.asarray(b2[k]), rtol=1e-6, err_msg=k)
 
 
 def test_nstep_discounted_sum_and_termination_cut():
