@@ -188,9 +188,10 @@ def bench_phases(model, iterations):
         return policy_state, critic_state
 
     update_jit = jax.jit(update_prog, donate_argnums=(0, 1))
-    ps, cs = jax.block_until_ready(
-        update_jit(model.policy_state, model.critic_state, key)
-    )  # compile
+    # donate COPIES: the model's own train states must stay valid for any
+    # later use (use-after-donate hazard, advisor r3)
+    ps0, cs0 = jax.tree.map(jnp.copy, (model.policy_state, model.critic_state))
+    ps, cs = jax.block_until_ready(update_jit(ps0, cs0, key))  # compile
     start = time.perf_counter()
     for _ in range(iterations):
         ps, cs = update_jit(ps, cs, key)

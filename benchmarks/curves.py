@@ -131,6 +131,37 @@ RUNS = {
             "algorithm.logging_active": False,  # host callbacks unavailable on TPU tunnel
         },
     },
+    "locomotion_ppo_bf16": {  # bench-dtype validation: bf16 trunks must learn
+        "algorithm": "ppo.tpu", "environment": "locomotion.robot.tpu",
+        "budget": 50_000_000, "threshold": 0.5, "eval_points": 10,
+        "metric": "eval/episode_tracking",
+        "overrides": {
+            "environment.nr_envs": 4096,
+            "algorithm.nr_steps": 32,
+            "algorithm.minibatch_size": 32768,
+            "algorithm.nr_epochs": 4,
+            "algorithm.learning_rate": 3e-4,
+            "algorithm.compute_dtype": "bfloat16",
+            "algorithm.logging_active": False,
+        },
+    },
+    "soccer_lstm": {  # robocup_soccer learning evidence (VERDICT r3 next #7):
+        # Booster T1 biped + gait manager, velocity-tracking metric as the
+        # locomotion family (the soccer env is the reference's locomotion
+        # copy + gait phase, `robocup_soccer/README.md:12-24`)
+        "algorithm": "ppo_lstm.tpu", "environment": "locomotion.soccer.tpu",
+        "budget": 50_000_000, "threshold": 0.5, "eval_points": 10,
+        "metric": "eval/episode_tracking",
+        "overrides": {
+            "environment.nr_envs": 4096,
+            "algorithm.nr_steps": 32,
+            "algorithm.nr_minibatches": 4,
+            "algorithm.nr_epochs": 4,
+            "algorithm.learning_rate": 3e-4,
+            "algorithm.rnn_hidden_dim": 128,
+            "algorithm.logging_active": False,
+        },
+    },
 }
 
 # ---- family spot checks: final return threshold on small classic tasks ----
@@ -300,11 +331,24 @@ RUNS["pendulum_masked_history_window"] = {
     "overrides": {**_MASKED, "algorithm.minibatch_size": 512,
                   "algorithm.nr_epochs": 10, "algorithm.window_length": 4},
 }
+RUNS["pendulum_masked_memory_actions"] = {
+    # the hardest mechanism: memory exists only through the action space
+    # (`rl_x/algorithms/ppo_memory_actions/flax_full_jit/policy.py:42-52`);
+    # the policy must learn to encode th_dot into its extra outputs while
+    # also solving the control problem, so it gets a larger budget than the
+    # architectural memory variants.
+    "algorithm": "ppo_memory_actions.tpu", "environment": "classic.pendulum.tpu",
+    "budget": 1_200_000, "threshold": -700.0, "eval_points": 12,
+    "overrides": {**_MASKED, "algorithm.minibatch_size": 512,
+                  "algorithm.nr_epochs": 10,
+                  "algorithm.memory_action_dimension": 4},
+}
 
 
 def run_ours(name, spec, device, seed):
     import jax
 
+    overrides = dict(spec["overrides"])
     if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_default_matmul_precision", "float32")
@@ -317,16 +361,15 @@ def run_ours(name, spec, device, seed):
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         # tunneled transports drop single multi-minute device executions;
         # chunked mode keeps each device call bounded (one eval interval)
-        spec["overrides"]["runner.chunked_train"] = True
+        overrides["runner.chunked_train"] = True
         # host callbacks (io_callback/debug.callback) are UNIMPLEMENTED on
         # the axon TPU plugin: all logging must stay in-program
-        spec["overrides"]["algorithm.logging_active"] = False
+        overrides["algorithm.logging_active"] = False
 
     from rlx_tpu.config import create_model, make_config
 
     budget = spec["budget"]
     eval_freq = max(budget // spec["eval_points"], 1)
-    overrides = dict(spec["overrides"])
     # on-policy programs require the eval cadence to align with the rollout
     # batch; round down to the nearest multiple
     nr_steps = overrides.get("algorithm.nr_steps")
@@ -354,11 +397,22 @@ def run_ours(name, spec, device, seed):
         "metric": metric,
         "wall_s": round(wall, 2),
     }
-    for extra_key, name in [("eval/episode_length", "episode_lengths"),
-                            ("eval/episode_return", "episode_returns")]:
+    for extra_key, out_key in [("eval/episode_length", "episode_lengths"),
+                               ("eval/episode_return", "episode_returns")]:
         if extra_key in hist and extra_key != metric:
-            out[name] = [float(x) for x in hist[extra_key]]
+            out[out_key] = [float(x) for x in hist[extra_key]]
+    # record any remaining eval diagnostics (e.g. eval/policy_std)
+    for k, v in hist.items():
+        if k.startswith("eval/") and k != metric and k not in (
+            "eval/episode_length", "eval/episode_return"
+        ):
+            out[k.split("eval/", 1)[1]] = [float(x) for x in v]
     return out
+
+
+def _final(curve):
+    tail = curve["returns"][-3:]
+    return sum(tail) / len(tail)
 
 
 _BOX_LINE = re.compile(r"│ (\S+)\s*│ (-?[0-9.e+-]+)\s*│")
@@ -418,6 +472,9 @@ def main():
     parser.add_argument("--list", action="store_true")
     parser.add_argument("--device", default="cpu", choices=["cpu", "tpu"])
     parser.add_argument("--seed", type=int, default=1)
+    parser.add_argument("--seeds", default="",
+                        help="comma-separated seeds; runs each and records "
+                             "per-seed finals + spread (passed = ALL pass)")
     parser.add_argument("--with-reference", action="store_true")
     parser.add_argument("--tag", default="", help="suffix for the results file")
     args = parser.parse_args()
@@ -443,12 +500,17 @@ def main():
         result["reference"] = run_reference(spec, spec["budget"], spec["eval_points"], args.seed)
         print(f"[curves] reference curve: {result['reference']['returns']}", flush=True)
 
-    print(f"[curves] running OURS {spec['algorithm']} on {spec['environment']} ...", flush=True)
-    result["ours"] = run_ours(args.run, spec, args.device, args.seed)
-    print(f"[curves] our curve: {result['ours']['returns']}", flush=True)
+    seeds = [int(s) for s in args.seeds.split(",") if s] or [args.seed]
+    curves = {}
+    for s in seeds:
+        print(f"[curves] running OURS {spec['algorithm']} on {spec['environment']} "
+              f"seed={s} ...", flush=True)
+        curves[s] = run_ours(args.run, spec, args.device, s)
+        print(f"[curves] seed {s} curve: {curves[s]['returns']}", flush=True)
 
-    tail = result["ours"]["returns"][-3:]
-    final = sum(tail) / len(tail)
+    result["ours"] = curves[seeds[0]]
+    finals = [_final(curves[s]) for s in seeds]
+    final = sum(finals) / len(finals)
     result["final_return"] = final
     # "expect": "below" marks a deliberate NEGATIVE control (e.g. the
     # memoryless policy on a memory-requiring task): it passes by scoring
@@ -456,9 +518,16 @@ def main():
     expect = spec.get("expect", "above")
     result["expect"] = expect
     if expect == "below":
-        result["passed"] = bool(final < spec["threshold"])
+        per_seed_passed = [bool(f < spec["threshold"]) for f in finals]
     else:
-        result["passed"] = bool(final >= spec["threshold"])
+        per_seed_passed = [bool(f >= spec["threshold"]) for f in finals]
+    result["passed"] = all(per_seed_passed)
+    if len(seeds) > 1:
+        result["seeds"] = seeds
+        result["per_seed_final"] = [round(f, 2) for f in finals]
+        result["per_seed_passed"] = per_seed_passed
+        result["final_spread"] = round(max(finals) - min(finals), 2)
+        result["ours_per_seed"] = {str(s): curves[s] for s in seeds}
 
     os.makedirs(RESULTS_DIR, exist_ok=True)
     suffix = f"_{args.tag}" if args.tag else ""

@@ -43,6 +43,11 @@ class OffPolicyAlgorithm:
         self.save_model = config.runner.save_model
         self.save_path = f"{run_path}/models" if run_path else None
         self.seed = config.environment.seed
+        # NOTE: when (total_timesteps - learning_starts) is not divisible by
+        # evaluation_and_save_frequency the run trains up to one eval window
+        # PAST the nominal budget (ceil below) — deliberate, so the full
+        # requested budget is always trained; schedules keyed to
+        # total_timesteps extend proportionally (advisor r3).
         self.total_timesteps = int(a.total_timesteps)
         self.nr_envs = config.environment.nr_envs
         self.learning_rate = a.learning_rate

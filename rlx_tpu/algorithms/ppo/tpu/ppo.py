@@ -78,6 +78,12 @@ class PPO:
                 "and runner.save_model=False (callbacks cannot run under vmap); "
                 "results are recorded per-seed in eval_history"
             )
+        if self.nr_parallel_seeds > 1 and config.runner.chunked_train:
+            raise ValueError(
+                "nr_parallel_seeds > 1 runs one fused vmapped program and cannot "
+                "honor runner.chunked_train (bounded per-call device executions); "
+                "run seeds separately or disable chunked_train"
+            )
 
         self.batch_size = self.nr_envs * self.nr_steps
         self.nr_updates = self.total_timesteps // self.batch_size
@@ -444,6 +450,12 @@ class PPO:
             for k, v in eval_env_state.info.items()
             if k.startswith("rollout/")
         }
+        if self.continuous:
+            # exploration-health diagnostic in the callback-free eval record
+            # (the 150M locomotion anomaly hunt: does the std collapse?)
+            eval_metrics["eval/policy_std"] = jnp.mean(
+                jnp.exp(policy_state.params["params"]["policy_logstd"])
+            )
         if self.config.algorithm.logging_active:
             combined_step = (outer_step + 1) * self.nr_updates_per_eval_save_iteration
             jax.debug.callback(self._log_eval_callback, eval_metrics, combined_step)

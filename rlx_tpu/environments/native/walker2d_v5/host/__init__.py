@@ -27,7 +27,7 @@ def create_train_and_eval_env(config):
                                      seed=config.environment.seed,
                                      nr_threads=config.environment.nr_threads)
     eval_env = MujocoNativeEnvBatch(TASK, config.environment.nr_envs,
-                                    seed=config.environment.seed + 10_000,
+                                    seed=config.environment.seed ^ 0x5EED_0E7A,  # disjoint from per-env seed+i streams at any nr_envs
                                     nr_threads=config.environment.nr_threads)
     for env in (train_env, eval_env):
         env.general_properties = GeneralProperties

@@ -107,20 +107,129 @@ class Mamba2Cell(nn.Module):
         return {"conv": next_conv, "ssm": next_ssm}, out
 
 
+class TransformerBlock(nn.Module):
+    """One pre-LN attention+MLP block with a streaming KV cache AND a
+    parallel banded-causal sequence path sharing the same parameters.
+
+    Cache: {"k": [B, L-1, F], "v": [B, L-1, F], "valid": [B, L-1]}, ordered
+    oldest -> newest; the learned relative-age bias is indexed by cache slot
+    (slot L-1 = the current token), so both paths index it identically.
+    """
+
+    features: int
+    context_len: int = 16
+    nr_heads: int = 4
+    mlp_expand: int = 4
+
+    def setup(self):
+        self.ln1 = nn.LayerNorm()
+        self.wq = nn.Dense(self.features)
+        self.wk = nn.Dense(self.features)
+        self.wv = nn.Dense(self.features)
+        self.wo = nn.Dense(self.features)
+        self.ln2 = nn.LayerNorm()
+        self.mlp1 = nn.Dense(self.features * self.mlp_expand)
+        self.mlp2 = nn.Dense(self.features)
+        self.age_bias = self.param(
+            "age_bias", constant(0.0), (self.nr_heads, self.context_len)
+        )
+
+    def _mlp(self, x):
+        return x + self.mlp2(nn.gelu(self.mlp1(self.ln2(x))))
+
+    def streaming(self, cache, x):
+        """One token: x [B, F], cache -> (new_cache, out [B, F])."""
+        head_dim = self.features // self.nr_heads
+        residual = x
+        h = self.ln1(x)
+        q, k, v = self.wq(h), self.wk(h), self.wv(h)
+
+        keys = jnp.concatenate([cache["k"], k[:, None]], axis=1)      # [B, L, F]
+        values = jnp.concatenate([cache["v"], v[:, None]], axis=1)
+        valid = jnp.concatenate([cache["valid"], jnp.ones_like(cache["valid"][:, :1])], axis=1)
+
+        B, L, _ = keys.shape
+        qh = q.reshape(B, self.nr_heads, head_dim)
+        kh = keys.reshape(B, L, self.nr_heads, head_dim)
+        vh = values.reshape(B, L, self.nr_heads, head_dim)
+
+        logits = jnp.einsum("bhd,blhd->bhl", qh, kh) / np.sqrt(head_dim)
+        logits = logits + self.age_bias[None]
+        logits = jnp.where(valid[:, None, :] > 0.5, logits, -1e9)
+        attn = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("bhl,blhd->bhd", attn, vh).reshape(B, self.features)
+        x = residual + self.wo(out)
+        x = self._mlp(x)
+        new_cache = {"k": keys[:, 1:], "v": values[:, 1:], "valid": valid[:, 1:]}
+        return new_cache, x
+
+    def parallel(self, cache, x_seq, seg):
+        """Whole window in parallel: x_seq [T, B, F], seg [T, B] episode
+        segment ids (cumsum of prev-step dones; seg[0] == 0).  Numerically
+        identical to scanning ``streaming`` over t (unit-tested), but every
+        Dense runs one [T*B, F] matmul and the banded attention is one
+        einsum — the reference's train-time strategy
+        (`ppo_transformer/flax_full_jit/policy.py:300-345`) rebuilt for the
+        streaming-cache semantics (the initial cache joins the band)."""
+        T, B, F = x_seq.shape
+        L = self.context_len
+        head_dim = F // self.nr_heads
+        residual = x_seq
+        h = self.ln1(x_seq)
+        q, k, v = self.wq(h), self.wk(h), self.wv(h)
+
+        # keys/values timeline: L-1 cache tokens then the T window tokens
+        k_all = jnp.concatenate([jnp.moveaxis(cache["k"], 0, 1), k], axis=0)  # [L-1+T, B, F]
+        v_all = jnp.concatenate([jnp.moveaxis(cache["v"], 0, 1), v], axis=0)
+
+        # sliding windows: query t attends timeline slots [t .. t+L-1]
+        # (source tokens t-L+1 .. t); slot order matches the streaming cache
+        window_idx = np.arange(T)[:, None] + np.arange(L)[None, :]        # [T, L]
+        kw = k_all[window_idx]                                            # [T, L, B, F]
+        vw = v_all[window_idx]
+
+        qh = q.reshape(T, B, self.nr_heads, head_dim)
+        kh = kw.reshape(T, L, B, self.nr_heads, head_dim)
+        vh = vw.reshape(T, L, B, self.nr_heads, head_dim)
+        logits = jnp.einsum("tbhd,tlbhd->tbhl", qh, kh) / np.sqrt(head_dim)
+        logits = logits + self.age_bias[None, None]                       # [T, B, H, L]
+
+        # validity: window slot l of query t is source s = t - (L-1) + l
+        #  - s >= 0 (in-window):  same episode segment as the query
+        #  - s < 0  (cache):      cache valid AND no done since window start
+        src = window_idx - (L - 1)                                        # [T, L]
+        in_window = src >= 0
+        src_seg = seg[jnp.clip(src, 0, T - 1)]                            # [T, L, B]
+        same_seg = src_seg == seg[:, None, :]                             # [T, L, B]
+        cache_valid = jnp.moveaxis(cache["valid"], 0, 1)                  # [L-1, B]
+        cache_valid = jnp.concatenate(
+            [cache_valid, jnp.zeros((T, cache_valid.shape[1]))], axis=0
+        )[window_idx]                                                     # [T, L, B]
+        no_done_yet = (seg == 0)[:, None, :]                              # [T, 1, B]
+        valid = jnp.where(in_window[:, :, None], same_seg,
+                          (cache_valid > 0.5) & no_done_yet)              # [T, L, B]
+        logits = jnp.where(jnp.moveaxis(valid, 1, 2)[:, :, None, :], logits, -1e9)
+
+        attn = jax.nn.softmax(logits, axis=-1)                            # [T, B, H, L]
+        out = jnp.einsum("tbhl,tlbhd->tbhd", attn, vh).reshape(T, B, F)
+        x = residual + self.wo(out)
+        return self._mlp(x)
+
+
 class TransformerCell(nn.Module):
     """Sliding-window causal self-attention as a streaming cell (KV cache).
 
     Capability parity with `rl_x/algorithms/ppo_transformer/flax_full_jit/policy.py`
     (context of the last ``context_len`` tokens, padding mask for short
-    histories, episode-segment isolation).  TPU-first design difference: the
-    reference act-time keeps a rolling token history and train-time rebuilds
-    a banded causal + segment attention mask (`policy.py:300-345`); here BOTH
-    paths run the SAME streaming one-step over a per-block KV cache (the
-    training re-run is the time scan that already exists in RecurrentPPO),
-    which guarantees act/train consistency by construction.  A learned
+    histories, episode-segment isolation).  Acting streams one token over a
+    per-block KV cache; training runs the SAME parameters in parallel over
+    the whole rollout window with a banded-causal + segment mask
+    (`policy.py:300-345`), so the in-loss re-run costs one attention einsum
+    instead of a T-step sequential scan (the round-3 streaming-only re-run
+    was ~40x slower than the LSTM variant on the same budget).  A learned
     relative-age bias replaces sinusoidal PE (streaming-friendly).
 
-    Carry per block: {"k": [B, L-1, H], "v": [B, L-1, H], "valid": [B, L-1]}.
+    Carry per block: {"k": [B, L-1, F], "v": [B, L-1, F], "valid": [B, L-1]}.
     """
 
     features: int
@@ -128,6 +237,16 @@ class TransformerCell(nn.Module):
     nr_heads: int = 4
     nr_blocks: int = 2
     mlp_expand: int = 4
+
+    def setup(self):
+        self.blocks = [
+            TransformerBlock(
+                features=self.features, context_len=self.context_len,
+                nr_heads=self.nr_heads, mlp_expand=self.mlp_expand,
+                name=f"block{b}",
+            )
+            for b in range(self.nr_blocks)
+        ]
 
     def initialize_carry(self, nr_envs):
         L = self.context_len - 1
@@ -140,44 +259,19 @@ class TransformerCell(nn.Module):
             for b in range(self.nr_blocks)
         }
 
-    @nn.compact
     def __call__(self, carry, x):
-        head_dim = self.features // self.nr_heads
         new_carry = {}
-        for b in range(self.nr_blocks):
-            cache = carry[f"block{b}"]
-            residual = x
-            h = nn.LayerNorm()(x)
-            q = nn.Dense(self.features)(h)
-            k = nn.Dense(self.features)(h)
-            v = nn.Dense(self.features)(h)
-
-            keys = jnp.concatenate([cache["k"], k[:, None]], axis=1)      # [B, L, F]
-            values = jnp.concatenate([cache["v"], v[:, None]], axis=1)
-            valid = jnp.concatenate([cache["valid"], jnp.ones_like(cache["valid"][:, :1])], axis=1)
-
-            B, L, _ = keys.shape
-            qh = q.reshape(B, self.nr_heads, head_dim)
-            kh = keys.reshape(B, L, self.nr_heads, head_dim)
-            vh = values.reshape(B, L, self.nr_heads, head_dim)
-
-            logits = jnp.einsum("bhd,blhd->bhl", qh, kh) / np.sqrt(head_dim)
-            age_bias = self.param(f"age_bias_{b}", constant(0.0), (self.nr_heads, L))
-            logits = logits + age_bias[None]
-            logits = jnp.where(valid[:, None, :] > 0.5, logits, -1e9)
-            attn = jax.nn.softmax(logits, axis=-1)
-            out = jnp.einsum("bhl,blhd->bhd", attn, vh).reshape(B, self.features)
-            x = residual + nn.Dense(self.features)(out)
-
-            mlp_in = nn.LayerNorm()(x)
-            mlp = nn.Dense(self.features * self.mlp_expand)(mlp_in)
-            mlp = nn.gelu(mlp)
-            x = x + nn.Dense(self.features)(mlp)
-
-            new_carry[f"block{b}"] = {
-                "k": keys[:, 1:], "v": values[:, 1:], "valid": valid[:, 1:],
-            }
+        for b, block in enumerate(self.blocks):
+            new_carry[f"block{b}"], x = block.streaming(carry[f"block{b}"], x)
         return new_carry, x
+
+    def sequence(self, init_carry, x_seq, done_prev):
+        """Parallel training path: x_seq [T, B, F], done_prev [T, B]
+        (done BEFORE consuming step t; done_prev[0] == 0) -> [T, B, F]."""
+        seg = jnp.cumsum(done_prev.astype(jnp.int32), axis=0)  # [T, B]
+        for b, block in enumerate(self.blocks):
+            x_seq = block.parallel(init_carry[f"block{b}"], x_seq, seg)
+        return x_seq
 
 
 class RecurrentPolicy(nn.Module):
@@ -299,10 +393,21 @@ class RecurrentPolicy(nn.Module):
 
     def sequence(self, obs_seq, done_seq, init_carry):
         """BPTT re-run: obs_seq [T, B, obs], done_seq [T, B] (done AFTER step
-        t), init_carry valid for obs_seq[0] -> (mean [T, B, A], logstd)."""
+        t), init_carry valid for obs_seq[0] -> (mean [T, B, A], logstd).
+
+        Transformer runs the whole window in parallel (banded attention, one
+        [T*B]-row matmul per Dense — numerically identical to the streaming
+        scan, unit-tested); the true recurrences (LSTM/GRU/Mamba) scan time
+        with the env minibatch batched inside each step."""
         done_prev = jnp.concatenate(
             [jnp.zeros_like(done_seq[:1]), done_seq.astype(jnp.float32)[:-1]], axis=0
         )
+
+        if self.cell_type == "transformer":
+            cell_in = self._encode_cell_input(obs_seq)          # [T, B, F]
+            hidden_seq = self.cell.sequence(init_carry, cell_in, done_prev)
+            obs_latent = cell_in if self.share_encoder else self._encode_obs(obs_seq)
+            return self._decode(obs_latent, hidden_seq)
 
         def step(carry, inp):
             obs_t, done_prev_t = inp

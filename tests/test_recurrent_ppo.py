@@ -34,6 +34,41 @@ def test_sequence_matches_stepwise_with_done_resets(cell):
         carry = mask_carry(carry, dones[t])
 
 
+def test_transformer_parallel_sequence_matches_streaming_with_warm_cache():
+    """The transformer's parallel training path (banded attention over the
+    window + initial KV cache) must reproduce the streaming scan exactly,
+    including attention INTO a non-empty rollout-initial cache and segment
+    isolation at dones."""
+    from rlx_tpu.models.recurrent import mask_carry
+
+    policy = RecurrentPolicy(action_dim=2, cell_type="transformer", obs_encoding_dim=8,
+                             hidden_dim=4, cell_context_len=4, cell_nr_heads=2,
+                             cell_nr_blocks=2)
+    B, T, WARM = 3, 7, 5
+    key = jax.random.PRNGKey(3)
+    warm_obs = jax.random.normal(key, (WARM, B, 5))
+    obs_seq = jax.random.normal(jax.random.fold_in(key, 1), (T, B, 5))
+    dones = jnp.zeros((T, B)).at[2, 0].set(1.0).at[4, 2].set(1.0).at[5, 2].set(1.0)
+    warm_dones = jnp.zeros((WARM, B)).at[3, 1].set(1.0)
+
+    carry = policy.initialize_carry(B)
+    params = policy.init(jax.random.PRNGKey(1), warm_obs[0], carry, method=policy.one_step)
+
+    # warm the cache with a streaming prefix (including a done)
+    for t in range(WARM):
+        _, _, carry = policy.apply(params, warm_obs[t], carry, method=policy.one_step)
+        carry = mask_carry(carry, warm_dones[t])
+
+    mean_par, logstd_par = policy.apply(params, obs_seq, dones, carry, method=policy.sequence)
+
+    c = carry
+    for t in range(T):
+        mean_t, logstd_t, c = policy.apply(params, obs_seq[t], c, method=policy.one_step)
+        np.testing.assert_allclose(np.asarray(mean_par[t]), np.asarray(mean_t),
+                                   atol=1e-5, err_msg=f"t={t}")
+        c = mask_carry(c, dones[t])
+
+
 @pytest.mark.parametrize("algorithm", ["ppo_lstm.tpu", "ppo_gru.tpu", "ppo_mamba2.tpu", "ppo_transformer.tpu"])
 def test_recurrent_ppo_trains(algorithm):
     config = make_config(
