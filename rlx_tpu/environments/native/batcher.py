@@ -287,3 +287,142 @@ class MujocoNativeEnvBatch(NativeEnvBatch):
         if self._handle:
             self._lib.mjbatch_destroy(self._handle)
             self._handle = None
+
+
+# ---------------------------------------------------------------- dm_control
+
+_DMC_SO_PATH = os.path.join(_NATIVE_DIR, "libenvbatch_dmc.so")
+_DMC_SRC_PATH = os.path.join(_NATIVE_DIR, "envbatch_dmc.cpp")
+
+_dmc_lib = None
+
+
+def _load_dmc_library():
+    global _dmc_lib
+    if _dmc_lib is not None:
+        return _dmc_lib
+    import mujoco
+
+    pkg_dir = os.path.dirname(os.path.abspath(mujoco.__file__))
+    include_dir = os.path.join(pkg_dir, "include")
+    libname = next(
+        f for f in sorted(os.listdir(pkg_dir)) if f.startswith("libmujoco.so")
+    )
+    if (not os.path.exists(_DMC_SO_PATH)) or (
+        os.path.getmtime(_DMC_SO_PATH) < os.path.getmtime(_DMC_SRC_PATH)
+    ):
+        subprocess.run(
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+             f"-I{include_dir}", "-o", _DMC_SO_PATH, _DMC_SRC_PATH,
+             f"-L{pkg_dir}", f"-l:{libname}", f"-Wl,-rpath,{pkg_dir}",
+             "-lpthread"],
+            check=True,
+            capture_output=True,
+        )
+    lib = ctypes.CDLL(_DMC_SO_PATH)
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    lib.dmcbatch_create.restype = ctypes.c_void_p
+    lib.dmcbatch_create.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_uint64, ctypes.c_int,
+    ]
+    for name in ["dmcbatch_obs_dim", "dmcbatch_act_dim", "dmcbatch_horizon"]:
+        getattr(lib, name).restype = ctypes.c_int
+        getattr(lib, name).argtypes = [ctypes.c_void_p]
+    lib.dmcbatch_ctrl_range.argtypes = [ctypes.c_void_p, f32p, f32p]
+    lib.dmcbatch_reset.argtypes = [ctypes.c_void_p, f32p]
+    lib.dmcbatch_step.argtypes = [ctypes.c_void_p, f32p, f32p, f32p, f32p, u8p, u8p, f32p]
+    lib.dmcbatch_set_state.argtypes = [ctypes.c_void_p, ctypes.c_int, f64p, f64p]
+    lib.dmcbatch_get_state.argtypes = [ctypes.c_void_p, ctypes.c_int, f64p, f64p]
+    lib.dmcbatch_destroy.argtypes = [ctypes.c_void_p]
+    _dmc_lib = lib
+    return lib
+
+
+def _dmc_model_path(domain):
+    """Compile the dm_control suite model (xml + assets from the installed
+    package) to a binary .mjb the C++ side can load without the asset dict."""
+    import mujoco
+    from dm_control.suite import common
+
+    path = os.path.join(_NATIVE_DIR, f"dmc_{domain}.mjb")
+    # common is dm_control/suite/common/; the task xmls live one level up
+    suite_dir = os.path.dirname(os.path.dirname(os.path.abspath(common.__file__)))
+    xml_path = os.path.join(suite_dir, f"{domain}.xml")
+    if os.path.exists(path) and os.path.getmtime(path) >= os.path.getmtime(xml_path):
+        return path
+    xml = common.read_model(f"{domain}.xml")
+    if isinstance(xml, bytes):
+        xml = xml.decode()
+    model = mujoco.MjModel.from_xml_string(xml, common.ASSETS)
+    mujoco.mj_saveModel(model, path, None)
+    return path
+
+
+class DMCNativeEnvBatch(MujocoNativeEnvBatch):
+    """C++-vectorized dm_control suite tasks (cheetah_run, walker_walk,
+    walker_run) with the device-env protocol — the in-repo equivalent of the
+    reference's EnvPool dmc track
+    (`rl_x/environments/envpool/dmc/humanoid_run_v1/create_env.py`)."""
+
+    def __init__(self, task, nr_envs, seed=0, nr_threads=0):
+        self._lib = _load_dmc_library()
+        domain = task.split("_", 1)[0]
+        mjb_path = _dmc_model_path(domain)
+        self._handle = self._lib.dmcbatch_create(
+            mjb_path.encode(), task.encode(), nr_envs, seed, nr_threads
+        )
+        if not self._handle:
+            raise ValueError(f"unknown native dmc task '{task}'")
+        self.env_id = task
+        self.nr_envs = nr_envs
+        self.horizon = self._lib.dmcbatch_horizon(self._handle)
+        self._obs_dim = self._lib.dmcbatch_obs_dim(self._handle)
+        self._discrete = False
+        act_dim = self._lib.dmcbatch_act_dim(self._handle)
+        lo = np.empty(act_dim, np.float32)
+        hi = np.empty(act_dim, np.float32)
+        self._lib.dmcbatch_ctrl_range(self._handle, lo, hi)
+        self.single_observation_space = BoxSpace(
+            low=-np.inf, high=np.inf, shape=(self._obs_dim,)
+        )
+        self.single_action_space = BoxSpace(low=lo, high=hi, shape=(act_dim,))
+
+    def _host_reset(self, _seed):
+        obs = np.empty((self.nr_envs, self._obs_dim), np.float32)
+        self._lib.dmcbatch_reset(self._handle, obs)
+        return obs
+
+    def _host_step(self, actions):
+        actions = np.ascontiguousarray(
+            np.asarray(actions, np.float32).reshape(self.nr_envs, -1)
+        )
+        obs = np.empty((self.nr_envs, self._obs_dim), np.float32)
+        final_obs = np.empty_like(obs)
+        reward = np.empty(self.nr_envs, np.float32)
+        term = np.empty(self.nr_envs, np.uint8)
+        trunc = np.empty(self.nr_envs, np.uint8)
+        stats = np.empty((self.nr_envs, 2), np.float32)
+        self._lib.dmcbatch_step(
+            self._handle, actions, obs, final_obs, reward, term, trunc, stats
+        )
+        return obs, final_obs, reward, term.astype(bool), trunc.astype(bool), stats
+
+    def set_state(self, env_index, qpos, qvel):
+        self._lib.dmcbatch_set_state(
+            self._handle, env_index,
+            np.ascontiguousarray(qpos, np.float64),
+            np.ascontiguousarray(qvel, np.float64),
+        )
+
+    def get_state(self, env_index, nq, nv):
+        qpos = np.empty(nq, np.float64)
+        qvel = np.empty(nv, np.float64)
+        self._lib.dmcbatch_get_state(self._handle, env_index, qpos, qvel)
+        return qpos, qvel
+
+    def close(self):
+        if self._handle:
+            self._lib.dmcbatch_destroy(self._handle)
+            self._handle = None
