@@ -23,6 +23,7 @@ def get_config(algorithm_name):
     config.max_grad_norm = 0.5
     config.std_dev = 1.0
     config.memory_action_dimension = 8
+    config.memory_action_clip = 10.0  # reference memory_action_mean_clip
     config.action_clipping_and_rescaling = False
     config.policy_hidden_sizes = (64, 64)
     config.critic_hidden_sizes = (64, 64)

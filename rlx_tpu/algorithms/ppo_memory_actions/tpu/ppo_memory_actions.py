@@ -14,9 +14,11 @@ from rlx_tpu.environments.wrappers import MemoryActionsWrapper
 class PPOMemoryActions(PPO):
     def __init__(self, config, train_env, eval_env, run_path, writer):
         mem = config.algorithm.memory_action_dimension
-        wrapped_train = MemoryActionsWrapper(train_env, mem)
+        clip = float(getattr(config.algorithm, "memory_action_clip", 10.0))
+        wrapped_train = MemoryActionsWrapper(train_env, mem, memory_clip=clip)
         wrapped_eval = (
-            wrapped_train if eval_env is train_env else MemoryActionsWrapper(eval_env, mem)
+            wrapped_train if eval_env is train_env
+            else MemoryActionsWrapper(eval_env, mem, memory_clip=clip)
         )
         super().__init__(config, wrapped_train, wrapped_eval, run_path, writer)
 

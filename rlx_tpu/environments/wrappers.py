@@ -170,9 +170,15 @@ class DomainRandomizationWrapper:
 
 
 class MemoryActionsWrapper:
-    def __init__(self, env, memory_dimension):
+    def __init__(self, env, memory_dimension, memory_clip=10.0):
+        # memory_clip matches the reference's memory_action_mean_clip=10
+        # (`ppo_memory_actions/flax_full_jit/default_config.py:24`): a wide
+        # memory range keeps the written signal well above the ~1-std
+        # exploration noise (clipping to [-1, 1] caps the channel SNR at ~1
+        # and the policy cannot learn to use it — measured round 4).
         self.env = env
         self.memory_dimension = memory_dimension
+        self.memory_clip = float(memory_clip)
         self.nr_envs = env.nr_envs
         self.horizon = env.horizon
         self.obs_dim = int(np.prod(env.single_observation_space.shape))
@@ -180,11 +186,11 @@ class MemoryActionsWrapper:
         self.inner_action_dim = int(np.prod(inner_as.shape))
         low = jnp.concatenate([
             jnp.broadcast_to(jnp.asarray(inner_as.low, jnp.float32), inner_as.shape).reshape(-1),
-            -jnp.ones(memory_dimension),
+            jnp.full(memory_dimension, -self.memory_clip),
         ])
         high = jnp.concatenate([
             jnp.broadcast_to(jnp.asarray(inner_as.high, jnp.float32), inner_as.shape).reshape(-1),
-            jnp.ones(memory_dimension),
+            jnp.full(memory_dimension, self.memory_clip),
         ])
         self.single_action_space = BoxSpace(
             low=low, high=high, shape=(self.inner_action_dim + memory_dimension,)
@@ -206,7 +212,9 @@ class MemoryActionsWrapper:
 
     def step(self, state, action):
         env_action = action[:, : self.inner_action_dim]
-        memory = jnp.clip(action[:, self.inner_action_dim:], -1.0, 1.0)
+        memory = jnp.clip(
+            action[:, self.inner_action_dim:], -self.memory_clip, self.memory_clip
+        )
         inner_state = state.replace(physics=state.physics["inner"])
         inner = self.env.step(inner_state, env_action)
         done = inner.terminated | inner.truncated

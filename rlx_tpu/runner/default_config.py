@@ -25,6 +25,7 @@ def get_config():
     config.save_optimizer_state = False
     config.nr_test_episodes = 10
     config.render_video = ""  # test mode: offscreen rollout video (.mp4 or PNG dir)
+    config.render_interactive = False  # test mode: GLFW window (needs GL + display)
 
     # Write a TensorBoard-viewable device trace of the whole run
     # (jax.profiler.trace) into this directory when set.

@@ -336,6 +336,19 @@ class Runner:
                 rlx_logger.info(
                     f"rendered {frames} frames to {config.runner.render_video}"
                 )
+            if config.runner.render_interactive:
+                # opt-in GLFW window (requires a GL stack + display);
+                # reference viewer semantics: rlx_tpu/render/interactive.py
+                from rlx_tpu.render.interactive import watch_rollout
+
+                xml_path = getattr(model.eval_env, "xml_path", None)
+                if xml_path is None:
+                    rlx_logger.warning(
+                        "runner.render_interactive: env exposes no xml_path; skipping"
+                    )
+                else:
+                    steps = watch_rollout(model, xml_path)
+                    rlx_logger.info(f"interactive viewer closed after {steps} steps")
         finally:
             train_env.close()
             eval_env.close()

@@ -72,3 +72,98 @@ def test_render_rollout_ant(tmp_path):
     frames = render_rollout(model, str(out), nr_steps=3, width=96, height=72)
     assert frames == 3
     assert len(os.listdir(out)) == 3
+
+
+class _FakeBackend:
+    """Stub render backend driving InteractiveViewer's state machine."""
+
+    def __init__(self):
+        self.frames = []
+        self.camera_history = []
+        self.zooms = []
+        self.closed = False
+        self._should_close = False
+
+    def set_camera(self, mode):
+        self.camera_history.append(mode)
+
+    def set_key_callback(self, cb):
+        self.key_cb = cb
+
+    def set_scroll_callback(self, cb):
+        self.scroll_cb = cb
+
+    def zoom(self, amount):
+        self.zooms.append(amount)
+
+    def track(self, data):
+        pass
+
+    def render_frame(self, data, overlay_lines):
+        self.frames.append(overlay_lines)
+
+    def should_close(self):
+        return self._should_close
+
+    def close(self):
+        self.closed = True
+
+
+def test_interactive_viewer_state_machine():
+    """Keyboard semantics of the reference GLFW viewer
+    (`ant/mjx/viewer.py:87-99`): SPACE pause, TAB camera cycle, H menu,
+    S/F speed factor, scroll zoom, overlay content, frame pacing."""
+    from rlx_tpu.render.interactive import InteractiveViewer
+
+    backend = _FakeBackend()
+    viewer = InteractiveViewer(model=None, dt=1 / 60.0, backend=backend)
+    viewer.target_render_time = 0.0  # no wall-clock sleeps in tests
+
+    assert viewer.camera_mode == "static"
+    backend.key_cb("tab")
+    viewer.render(data=None)
+    assert viewer.camera_mode == "follow"
+    assert backend.camera_history[-1] == "follow"
+
+    backend.key_cb("s")
+    backend.key_cb("s")
+    assert viewer.run_speed_factor == 0.25
+    backend.key_cb("f")
+    assert viewer.run_speed_factor == 0.5
+
+    backend.key_cb("h")
+    n_before = len(backend.frames)
+    viewer.render(data=None)
+    assert len(backend.frames) > n_before
+    assert backend.frames[-1] is None  # menu hidden
+    backend.key_cb("h")
+    viewer.render(data=None)
+    lines = dict(backend.frames[-1])
+    assert lines["Camera mode:"] == "follow"
+    assert "[S]lower, [F]aster" in lines.values()
+
+    backend.scroll_cb(2.0)
+    assert backend.zooms == [0.1]
+
+    # pause: render loop keeps spinning until unpaused via the key callback
+    backend.key_cb("space")
+    assert viewer.paused
+    spins = {"n": 0}
+    orig = backend.render_frame
+
+    def unpause_after_three(data, overlay):
+        orig(data, overlay)
+        spins["n"] += 1
+        if spins["n"] == 3:
+            backend.key_cb("space")
+
+    backend.render_frame = unpause_after_three
+    viewer.render(data=None)
+    assert not viewer.paused and spins["n"] >= 3
+
+    # window close stops the loop and marks the viewer closed
+    backend._should_close = True
+    viewer.render(data=None)
+    assert viewer.closed or viewer.loop_count <= 1
+    viewer.close()
+    assert backend.closed
