@@ -130,8 +130,25 @@ class TransformerBlock(nn.Module):
         self.ln2 = nn.LayerNorm()
         self.mlp1 = nn.Dense(self.features * self.mlp_expand)
         self.mlp2 = nn.Dense(self.features)
+        # attention logits/mixing run at full f32 precision: under the TPU
+        # default (bf16 passes) the q.k dots carry ~1e-2 noise, which on the
+        # marginal masked-Pendulum task was the difference between learning
+        # (-576 on CPU/f32) and not (-1037 on TPU/bf16); these einsums are
+        # tiny (L<=16), so HIGHEST precision costs nothing measurable
+        self.attn_precision = jax.lax.Precision.HIGHEST
+
+        # learned relative-age bias, initialized with a per-head recency
+        # prior (ALiBi-style slopes): head h starts attending mostly to the
+        # last ~2^h tokens, so short-range credit assignment works before
+        # content-based attention is learned.  Slot L-1 = the current token.
+        def age_bias_init(key, shape):
+            heads, L = shape
+            ages = np.arange(L - 1, -1, -1, dtype=np.float32)  # slot age
+            slopes = 2.0 ** (-np.arange(1, heads + 1, dtype=np.float32))
+            return jnp.asarray(-slopes[:, None] * ages[None, :])
+
         self.age_bias = self.param(
-            "age_bias", constant(0.0), (self.nr_heads, self.context_len)
+            "age_bias", age_bias_init, (self.nr_heads, self.context_len)
         )
 
     def _mlp(self, x):
@@ -153,11 +170,13 @@ class TransformerBlock(nn.Module):
         kh = keys.reshape(B, L, self.nr_heads, head_dim)
         vh = values.reshape(B, L, self.nr_heads, head_dim)
 
-        logits = jnp.einsum("bhd,blhd->bhl", qh, kh) / np.sqrt(head_dim)
+        logits = jnp.einsum("bhd,blhd->bhl", qh, kh,
+                            precision=self.attn_precision) / np.sqrt(head_dim)
         logits = logits + self.age_bias[None]
         logits = jnp.where(valid[:, None, :] > 0.5, logits, -1e9)
         attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhl,blhd->bhd", attn, vh).reshape(B, self.features)
+        out = jnp.einsum("bhl,blhd->bhd", attn, vh,
+                         precision=self.attn_precision).reshape(B, self.features)
         x = residual + self.wo(out)
         x = self._mlp(x)
         new_cache = {"k": keys[:, 1:], "v": values[:, 1:], "valid": valid[:, 1:]}
@@ -191,7 +210,8 @@ class TransformerBlock(nn.Module):
         qh = q.reshape(T, B, self.nr_heads, head_dim)
         kh = kw.reshape(T, L, B, self.nr_heads, head_dim)
         vh = vw.reshape(T, L, B, self.nr_heads, head_dim)
-        logits = jnp.einsum("tbhd,tlbhd->tbhl", qh, kh) / np.sqrt(head_dim)
+        logits = jnp.einsum("tbhd,tlbhd->tbhl", qh, kh,
+                            precision=self.attn_precision) / np.sqrt(head_dim)
         logits = logits + self.age_bias[None, None]                       # [T, B, H, L]
 
         # validity: window slot l of query t is source s = t - (L-1) + l
@@ -211,7 +231,8 @@ class TransformerBlock(nn.Module):
         logits = jnp.where(jnp.moveaxis(valid, 1, 2)[:, :, None, :], logits, -1e9)
 
         attn = jax.nn.softmax(logits, axis=-1)                            # [T, B, H, L]
-        out = jnp.einsum("tbhl,tlbhd->tbhd", attn, vh).reshape(T, B, F)
+        out = jnp.einsum("tbhl,tlbhd->tbhd", attn, vh,
+                         precision=self.attn_precision).reshape(T, B, F)
         x = residual + self.wo(out)
         return self._mlp(x)
 
