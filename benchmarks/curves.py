@@ -359,11 +359,13 @@ RUNS["pendulum_masked_memory_actions"] = {
                   "algorithm.memory_action_dimension": 4},
 }
 RUNS["pendulum_masked_memory_actions_tuned"] = {
-    # calibrated variant (4-dim @ 1.2M recorded failing at -988): a 2-dim
-    # memory channel shrinks the exploration noise the policy must write
-    # through, and the budget doubles
+    # calibrated variant (4-dim @ 1.2M recorded failing at -988): 2-dim
+    # +-10 memory channel (reference clip semantics), 4x budget.  Memory
+    # through the action space gets no BPTT path — the write is credited
+    # only via advantage correlation — so it needs far more experience than
+    # the architectural memory variants.
     "algorithm": "ppo_memory_actions.tpu", "environment": "classic.pendulum.tpu",
-    "budget": 2_400_000, "threshold": -700.0, "eval_points": 12,
+    "budget": 4_800_000, "threshold": -700.0, "eval_points": 12,
     "overrides": {**_MASKED, "algorithm.minibatch_size": 512,
                   "algorithm.nr_epochs": 10,
                   "algorithm.memory_action_dimension": 2},
