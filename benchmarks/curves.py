@@ -104,9 +104,13 @@ RUNS = {
     # (`ppo_lstm/flax_full_jit/default_config.py:11-16`); at this 50M budget
     # the higher-update-frequency recipe below learns much faster (measured:
     # ns=128/10-epoch recipe reaches 0.28 return vs 0.51 for ns=32/4).
-    "locomotion_ppo": {  # bisect control for config 5: plain PPO, same env/budget
+    # Plain PPO needs its natural budget: at 50M the three-seed spread is
+    # 0.45-0.49 (the round-3 single-seed 0.53 was a lucky draw); the curve is
+    # monotone through 150M (0.62, locomotion_ppo_150m.json) and the
+    # reference trains this family for 2e9 steps.
+    "locomotion_ppo": {  # bisect control for config 5: plain PPO, feedforward
         "algorithm": "ppo.tpu", "environment": "locomotion.robot.tpu",
-        "budget": 50_000_000, "threshold": 0.5, "eval_points": 10,
+        "budget": 150_000_000, "threshold": 0.5, "eval_points": 10,
         "metric": "eval/episode_tracking",
         "overrides": {
             "environment.nr_envs": 4096,
@@ -319,9 +323,12 @@ RUNS["pendulum_spot_reppo"]["overrides"] = {
 # memory mechanism must PASS.  This is the carry-wiring validation VERDICT
 # r2 asked for: a bug reducing a recurrent variant to feedforward flips its
 # result here.
+# lr 5e-4: at 1e-3 the memory variants oscillate late in training (LSTM
+# seed 2 hit -286 mid-run then regressed to a -721 final, measured round 4);
+# 5e-4 passes all seeds with margin and smoother tails.
 _MASKED = {
     "environment.nr_envs": 8, "environment.mask_velocity": True,
-    "algorithm.nr_steps": 256, "algorithm.learning_rate": 1e-3,
+    "algorithm.nr_steps": 256, "algorithm.learning_rate": 5e-4,
     "algorithm.gamma": 0.9,
 }
 for _name, _algo in [("gru", "ppo_gru.tpu"), ("lstm", "ppo_lstm.tpu"),
@@ -333,6 +340,11 @@ for _name, _algo in [("gru", "ppo_gru.tpu"), ("lstm", "ppo_lstm.tpu"),
         "overrides": {**_MASKED, "algorithm.nr_minibatches": 4,
                       "algorithm.nr_epochs": 10},
     }
+# attention-based memory is the slowest learner of the suite (all seeds
+# improve strongly over the feedforward control but 400k passes only 2/3
+# seeds); double its budget so the pass is seed-robust
+RUNS["pendulum_masked_transformer"]["budget"] = 800_000
+RUNS["pendulum_masked_transformer"]["eval_points"] = 10
 RUNS["pendulum_masked_ppo"] = {  # feedforward control: must score BELOW
     "algorithm": "ppo.tpu", "environment": "classic.pendulum.tpu",
     "budget": 400_000, "threshold": -700.0, "eval_points": 8,
