@@ -114,7 +114,7 @@ def main():
         phys = state0.physics
         qpos0 = phys["qpos"] if isinstance(phys, dict) else phys.qpos
         qvel0 = phys["qvel"] if isinstance(phys, dict) else phys.qvel
-        ctrl = jnp.zeros((NR_ENVS, phys_model.nu))
+        ctrl = jnp.zeros((NR_ENVS, len(phys_model.act_dof)))
 
         def physics_only(qpos, qvel):
             def step(carry, _):
