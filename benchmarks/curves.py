@@ -571,6 +571,15 @@ def main():
     os.makedirs(RESULTS_DIR, exist_ok=True)
     suffix = f"_{args.tag}" if args.tag else ""
     path = os.path.join(RESULTS_DIR, f"{args.run}{suffix}.json")
+    # keep a previously recorded reference overlay when re-recording ours
+    if "reference" not in result and os.path.exists(path):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            if "reference" in prev:
+                result["reference"] = prev["reference"]
+        except (json.JSONDecodeError, OSError):
+            pass
     with open(path, "w") as f:
         json.dump(result, f, indent=1)
     print(f"[curves] {args.run}: final={final:.1f} threshold={spec['threshold']} "
