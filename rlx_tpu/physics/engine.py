@@ -233,11 +233,12 @@ def _dynamics_T(model: PhysicsModel, qposT, qvelT, dr: Optional[DomainParams] = 
     else:
         zeta0 = jnp.concatenate([jnp.zeros((3, B)), jnp.broadcast_to((-g.astype(np.float32))[:, None], (3, B))])
 
-    # Serial part: the velocity / velocity-product recursion (parents first —
-    # an unavoidable tree dependency, but only [6, B]-sized work per body).
+    M = jnp.zeros((model.nv, model.nv, B))
+    C = jnp.zeros((model.nv, B))
     v_list = [None] * model.nbody
     zeta_list = [None] * model.nbody
     zero6 = jnp.zeros((6, B))
+
     for i in range(model.nbody):
         par = int(model.parent[i])
         v_par = v_list[par] if par != -1 else zero6
@@ -257,30 +258,19 @@ def _dynamics_T(model: PhysicsModel, qposT, qvelT, dr: Optional[DomainParams] = 
         v_list[i] = v_i
         zeta_list[i] = zeta_i
 
-    # Batched part: M = sum_i J_i^T I_i J_i and the bias projection run as
-    # ONE body-stacked contraction each instead of nbody small matmul chains
-    # (fewer, larger fused ops — the body axis joins the contraction).
-    I_all = jnp.stack(
-        [_spatial_inertia_T(model, i, Rs[i], ps[i]) for i in range(model.nbody)]
-    )  # [nbody, 6, 6, B]
-    if dr is not None and dr.mass_scale is not None:
-        I_all = I_all * dr.mass_scale[:, None, None, :]
+        I_w = _spatial_inertia_T(model, i, Rs[i], ps[i])  # [6, 6, B]
+        if dr is not None and dr.mass_scale is not None:
+            I_w = I_w * dr.mass_scale[i]
 
-    colsT = bl.transpose(cols)                                    # [6, nv, B]
-    mask_all = jnp.asarray(masks)                                 # [nbody, nv]
-    J_all = colsT[None] * mask_all[:, None, :, None]              # [nbody, 6, nv, B]
+        # masked Jacobian of body i: J6 [6, nv, B]
+        J6 = bl.transpose(cols) * masks[i][None, :, None]
+        IJ = bl.matmul(I_w, J6)                       # [6, nv, B]
+        M = M + bl.matmul(bl.transpose(J6), IJ)       # [nv, nv, B]
 
-    IJ = jnp.einsum("ixyB,iyvB->ixvB", I_all, J_all)
-    M = jnp.einsum("ixuB,ixvB->uvB", J_all, IJ)                   # [nv, nv, B]
-
-    v_all = jnp.stack(v_list)                                     # [nbody, 6, B]
-    zeta_all = jnp.stack(zeta_list)
-    crf_all = jnp.stack([-bl.transpose(_crm_T(v_list[i])) for i in range(model.nbody)])
-    Iv = jnp.einsum("ixyB,iyB->ixB", I_all, v_all)
-    f_bias = jnp.einsum("ixyB,iyB->ixB", I_all, zeta_all) + jnp.einsum(
-        "ixyB,iyB->ixB", crf_all, Iv
-    )
-    C = jnp.einsum("ixvB,ixB->vB", J_all, f_bias)                 # [nv, B]
+        Iv = bl.matvec(I_w, v_i)
+        crf = -bl.transpose(_crm_T(v_i))
+        f_bias = bl.matvec(I_w, zeta_i) + bl.matvec(crf, Iv)
+        C = C + (bl.transpose(J6) * f_bias[None, :, :]).sum(1)
 
     armature = np.diag(model.dof_armature).astype(np.float32)[:, :, None]
     if dr is not None and dr.armature_scale is not None:
@@ -336,7 +326,6 @@ def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contac
         omega_c = omega_c * dr.contact_stiffness_scale
     dt = float(model.timestep)
     new_anchors = []
-    forces = []
     for c in range(len(model.con_body)):
         b = int(model.con_body[c])
         m_eff = float(model.con_meff[c])
@@ -388,16 +377,8 @@ def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contac
 
         f = jnp.stack([ft[0], ft[1], fn])                      # [3, B]
         F = jnp.concatenate([bl.cross(x, f), f])               # [6, B]
-        forces.append(F)
-    # project ALL contact wrenches through their masked Jacobians in one
-    # contact-stacked contraction (same batching as the mass-matrix build)
-    F_all = jnp.stack(forces)                                  # [ncon, 6, B]
-    mask_con = jnp.asarray(
-        np.stack([masks[int(b)] for b in model.con_body])
-    )                                                          # [ncon, nv]
-    colsT = bl.transpose(cols)                                 # [6, nv, B]
-    J_con = colsT[None] * mask_con[:, None, :, None]           # [ncon, 6, nv, B]
-    tau = tau + jnp.einsum("cxvB,cxB->vB", J_con, F_all)
+        Jb = bl.transpose(cols) * masks[b][None, :, None]          # [6, nv, B]
+        tau = tau + (bl.transpose(Jb) * F[None, :, :]).sum(1)
     return tau, jnp.stack(new_anchors)
 
 
