@@ -24,6 +24,18 @@ _SRC_PATH = os.path.join(_NATIVE_DIR, "envbatch.cpp")
 _lib = None
 
 
+def _compile(cmd):
+    """Run a g++ invocation, surfacing the compiler diagnostics on failure
+    (check=True alone would swallow the captured stderr)."""
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+    except subprocess.CalledProcessError as e:
+        stderr = (e.stderr or b"").decode(errors="replace")
+        raise RuntimeError(
+            f"native batcher compile failed ({' '.join(cmd)}):\n{stderr}"
+        ) from e
+
+
 def _load_library():
     global _lib
     if _lib is not None:
@@ -31,11 +43,9 @@ def _load_library():
     if (not os.path.exists(_SO_PATH)) or (
         os.path.getmtime(_SO_PATH) < os.path.getmtime(_SRC_PATH)
     ):
-        subprocess.run(
+        _compile(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
              "-o", _SO_PATH, _SRC_PATH, "-lpthread"],
-            check=True,
-            capture_output=True,
         )
     lib = ctypes.CDLL(_SO_PATH)
     lib.envbatch_create.restype = ctypes.c_void_p
@@ -183,13 +193,11 @@ def _load_mujoco_library():
     if (not os.path.exists(_MJ_SO_PATH)) or (
         os.path.getmtime(_MJ_SO_PATH) < os.path.getmtime(_MJ_SRC_PATH)
     ):
-        subprocess.run(
+        _compile(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
              f"-I{include_dir}", "-o", _MJ_SO_PATH, _MJ_SRC_PATH,
              f"-L{pkg_dir}", f"-l:{libname}", f"-Wl,-rpath,{pkg_dir}",
              "-lpthread"],
-            check=True,
-            capture_output=True,
         )
     lib = ctypes.CDLL(_MJ_SO_PATH)
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
@@ -311,13 +319,11 @@ def _load_dmc_library():
     if (not os.path.exists(_DMC_SO_PATH)) or (
         os.path.getmtime(_DMC_SO_PATH) < os.path.getmtime(_DMC_SRC_PATH)
     ):
-        subprocess.run(
+        _compile(
             ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
              f"-I{include_dir}", "-o", _DMC_SO_PATH, _DMC_SRC_PATH,
              f"-L{pkg_dir}", f"-l:{libname}", f"-Wl,-rpath,{pkg_dir}",
              "-lpthread"],
-            check=True,
-            capture_output=True,
         )
     lib = ctypes.CDLL(_DMC_SO_PATH)
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")

@@ -81,7 +81,15 @@ class ReplayBuffer:
 
 
 def _build_layout(field_specs):
-    """Pack layout if every field is flat (rank <= 1) and 4-byte numeric."""
+    """Pack layout if every field is flat (rank <= 1) and 4-byte numeric.
+
+    int32 fields round-trip through float32 storage, which is exact only
+    for magnitudes < 2**24 — fine for the action/done-style fields the
+    algorithms store, fatal for large counters.  ``create`` enforces the
+    contract at write time (see the |value| < 2**24 assert in ``add``'s
+    packing path); fields that can exceed it must use an unpacked buffer
+    (give the field a trailing shape of rank > 1 or a 64-bit dtype).
+    """
     layout = []
     offset = 0
     for name, (shape, dtype) in field_specs.items():
@@ -128,6 +136,8 @@ def _pack_row(layout, transition, nr_envs):
     cols = []
     for name, _, width, _, _ in layout:
         value = transition[name]
+        # int32 values above 2**24 would silently lose precision through the
+        # float32 storage (contract documented in _build_layout)
         cols.append(value.astype(jnp.float32).reshape(nr_envs, width))
     return jnp.concatenate(cols, axis=-1)
 

@@ -248,15 +248,19 @@ def watch_rollout(model, xml_path, max_steps=None, backend=None):
     import jax
     import mujoco
 
-    render_model = mujoco.MjModel.from_xml_path(xml_path)
-    render_data = mujoco.MjData(render_model)
-    dt = float(render_model.opt.timestep)
-    viewer = InteractiveViewer(render_model, dt, backend=backend)
+    from rlx_tpu.render.offscreen import deterministic_act_fn
 
     env = model.eval_env
+    render_model = mujoco.MjModel.from_xml_path(xml_path)
+    render_data = mujoco.MjData(render_model)
+    # one env.step spans the env's control period (frame skip x physics
+    # timestep); pacing by opt.timestep alone would play nr_substeps too fast
+    dt = float(getattr(env, "dt", render_model.opt.timestep))
+    viewer = InteractiveViewer(render_model, dt, backend=backend)
+
+    act = deterministic_act_fn(model)
     state = env.reset(jax.random.PRNGKey(0), eval_mode=True)
-    step = jax.jit(lambda s: env.step(s, model.policy.mode(
-        model.policy_state.params, s.observation)))
+    step = jax.jit(lambda s: env.step(s, act(s.observation)))
     steps = 0
     horizon = max_steps or env.horizon
     try:

@@ -229,6 +229,20 @@ class VideoWriter:
             self._writer.release()
 
 
+def deterministic_act_fn(model):
+    """Duck-typed deterministic action for a trained model: on-policy
+    families expose ``policy.mode`` (+ ``process_action`` clip/rescale),
+    off-policy families expose ``eval_act``.  Shared by the offscreen and
+    interactive viewers so both apply the same action post-processing."""
+    if hasattr(model, "policy") and hasattr(model.policy, "mode"):
+        return lambda obs: model.policy.process_action(
+            model.policy.mode(model.policy_state.params, obs)
+        )
+    if hasattr(model, "eval_act"):
+        return lambda obs: model.process_action(model.eval_act(model.states, obs))
+    raise ValueError(f"don't know how to act deterministically with {type(model).__name__}")
+
+
 def render_rollout(model, path, nr_steps=None, width=480, height=360, fps=None):
     """Roll the trained policy on the eval env and dump a video.
 
@@ -249,16 +263,7 @@ def render_rollout(model, path, nr_steps=None, width=480, height=360, fps=None):
     renderer = OffscreenRenderer(xml_path, width, height)
     writer = VideoWriter(path, fps or int(round(1.0 / getattr(env, "dt", 0.02))))
 
-    # duck-typed deterministic action: on-policy (policy.mode) or
-    # off-policy (eval_act) families
-    if hasattr(model, "policy") and hasattr(model.policy, "mode"):
-        act = lambda obs: model.policy.process_action(
-            model.policy.mode(model.policy_state.params, obs)
-        )
-    elif hasattr(model, "eval_act"):
-        act = lambda obs: model.process_action(model.eval_act(model.states, obs))
-    else:
-        raise ValueError(f"don't know how to act deterministically with {type(model).__name__}")
+    act = deterministic_act_fn(model)
 
     step = jax.jit(env.step)
     state = env.reset(jax.random.PRNGKey(0), eval_mode=True)
