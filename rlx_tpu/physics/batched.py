@@ -67,6 +67,23 @@ def skew(v):
     )
 
 
+def cross_motion(v, m):
+    """Spatial motion cross product v x m; both [6, B] motion vectors
+    ((angular, linear) world-origin Plücker).  Equals crm(v) @ m without
+    materializing the [6, 6, B] matrix."""
+    w, vl = v[:3], v[3:]
+    mw, mv = m[:3], m[3:]
+    return jnp.concatenate([cross(w, mw), cross(w, mv) + cross(vl, mw)])
+
+
+def cross_force(v, f):
+    """Spatial force cross product v x* f; v [6, B] motion, f [6, B] force
+    ((moment, linear force)).  Equals -crm(v)^T @ f."""
+    w, vl = v[:3], v[3:]
+    n, fl = f[:3], f[3:]
+    return jnp.concatenate([cross(w, n) + cross(vl, fl), cross(w, fl)])
+
+
 def quat_to_rot(q):
     """[4, B] (w, x, y, z) -> [3, 3, B]."""
     w, x, y, z = q[0], q[1], q[2], q[3]
@@ -118,6 +135,53 @@ def rodrigues(axis, angle):
     s, c = jnp.sin(angle), jnp.cos(angle)
     eye = np.eye(3, dtype=np.float32)
     return eye[:, :, None] + s[None, None, :] * K[:, :, None] + (1.0 - c)[None, None, :] * KK[:, :, None]
+
+
+def ltdl_solve(M, rhs, lam):
+    """Tree-sparse M x = rhs solve via the LTDL factorization
+    (M = L^T D L, Featherstone RBDA §6.5 — the algorithm MuJoCo's
+    mj_factorM/mj_solveM implement).  ``lam`` is the static parent-dof
+    array (lam[d] = preceding dof on d's kinematic chain, -1 at the root);
+    for kinematic trees the factorization has ZERO fill-in outside the
+    ancestor chains, so both factor and solve touch only
+    sum_k |ancestors(k)| entries — ~4x fewer [B]-wide madds than the dense
+    Cholesky on branchy robots (ant: 231 vs 915).
+
+    M: [n, n, B] (only chain entries are read), rhs: [n, B] -> [n, B].
+    """
+    n = M.shape[0]
+    H = {}
+    for k in range(n):
+        j = k
+        while j != -1:
+            H[(k, j)] = M[k, j]
+            j = int(lam[j])
+    inv_d = [None] * n
+    for k in reversed(range(n)):
+        inv_d[k] = 1.0 / H[(k, k)]
+        i = int(lam[k])
+        while i != -1:
+            a = H[(k, i)] * inv_d[k]
+            j = i
+            while j != -1:
+                H[(i, j)] = H[(i, j)] - a * H[(k, j)]
+                j = int(lam[j])
+            H[(k, i)] = a
+            i = int(lam[i])
+    # x = L^{-1} D^{-1} L^{-T} rhs
+    x = [rhs[k] for k in range(n)]
+    for i in reversed(range(n)):
+        j = int(lam[i])
+        while j != -1:
+            x[j] = x[j] - H[(i, j)] * x[i]
+            j = int(lam[j])
+    x = [x[k] * inv_d[k] for k in range(n)]
+    for i in range(n):
+        j = int(lam[i])
+        while j != -1:
+            x[i] = x[i] - H[(i, j)] * x[j]
+            j = int(lam[j])
+    return jnp.stack(x)
 
 
 def cholesky_solve(M, rhs):

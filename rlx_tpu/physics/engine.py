@@ -7,20 +7,26 @@ Per substep:
 2. world Jacobian columns per dof: hinge ``[a; x_anchor x a]``, free joint
    ``[0; e_k]`` + ``[a_k; p x a_k]`` with MuJoCo's free-joint convention
    (linear velocity world, angular velocity body-local);
-3. mass matrix  M = sum_i J_i^T I_i^W J_i  (+ armature on the diagonal);
+3. mass matrix via CRBA over the static tree: composite world inertias
+   bottom-up, M[d, j] = S_j^T I^C_{body(d)} S_d for (dof, ancestor-dof)
+   pairs only (+ armature on the diagonal) — the structurally-zero
+   entries of branchy robots are never computed;
 4. bias forces via the velocity-product recursion
    zeta_i = zeta_parent + v_i x (S_i^moving qd_i),  f_i = I zeta + v x* I v,
    with gravity folded in as base acceleration  zeta_root = [0; -g]
    (for the free joint only the child-fixed angular columns contribute to
    the velocity-product term — the world-aligned linear columns are
-   constant);
+   constant); generalized bias/contact torques come from one RNEA-style
+   backward accumulation of world wrenches up the tree;
 5. penalty contacts (sphere/capsule-endpoint vs plane z=0): critically
    damped spring-damper from per-contact effective mass + smooth Coulomb
    friction;
 6. actuators: position servo  clip(kp (ctrl - q) - kv qd)  or torque motor;
    passive -damping qd - frictionloss tanh(qd/0.05); joint-limit springs;
-7. qacc = M^{-1} (tau - C) via an unrolled batch-last Cholesky;
-   semi-implicit Euler with quaternion integration for the free joint.
+7. qacc = M^{-1} (tau - C) via an unrolled batch-last tree-sparse LTDL
+   factorization (zero fill-in outside ancestor chains, as MuJoCo's
+   mj_factorM); semi-implicit Euler with quaternion integration for the
+   free joint.
 
 PERFORMANCE: all internal state is ``[comp..., B]`` (batch last) so the env
 batch fills the TPU's 128-wide lanes; structural dims (3/6/nv<=15) are
@@ -95,18 +101,39 @@ def terrain_height_T(terrain: Terrain, x, y):
     return h.reshape(x.shape)
 
 
-def _ancestor_masks(model: PhysicsModel) -> np.ndarray:
-    """Static [nbody, nv] mask: dof j moves body i."""
-    mask = np.zeros((model.nbody, model.nv), dtype=np.float32)
+def _dof_structure(model: PhysicsModel):
+    """Static dof-tree structure (trace-time numpy):
+
+    - ``lam[d]``: the preceding dof on d's kinematic chain (-1 at the root) —
+      within a free joint the 6 dofs chain linearly; the first dof of a
+      joint chains to the last dof of the nearest jointed ancestor body;
+    - ``dof_body[d]``: the body the dof belongs to.
+
+    This is the sparsity pattern CRBA, the RNEA-style backward force
+    projection, and the LTDL solve all share: M[i, j] != 0 iff one of i, j
+    is on the other's lam-chain.
+    """
+    lam = np.full(model.nv, -1, dtype=np.int64)
+    dof_body = np.zeros(model.nv, dtype=np.int64)
+    last_dof = np.full(model.nbody, -1, dtype=np.int64)
     for i in range(model.nbody):
-        b = i
-        while b != -1:
-            if model.jnt_type[b] == FREE:
-                mask[i, model.dof_adr[b]: model.dof_adr[b] + 6] = 1.0
-            elif model.jnt_type[b] == HINGE:
-                mask[i, model.dof_adr[b]] = 1.0
-            b = int(model.parent[b])
-    return mask
+        par = int(model.parent[i])
+        prev = int(last_dof[par]) if par != -1 else -1
+        jt = int(model.jnt_type[i])
+        d = int(model.dof_adr[i])
+        if jt == FREE:
+            for k in range(6):
+                lam[d + k] = prev
+                dof_body[d + k] = i
+                prev = d + k
+            last_dof[i] = d + 5
+        elif jt == HINGE:
+            lam[d] = prev
+            dof_body[d] = i
+            last_dof[i] = d
+        else:
+            last_dof[i] = prev  # jointless body: chain passes through
+    return lam, dof_body
 
 
 def _kinematics_T(model: PhysicsModel, qposT):
@@ -202,28 +229,69 @@ def _spatial_inertia_T(model: PhysicsModel, i, R, p):
     return jnp.concatenate([top, bottom], axis=0)
 
 
-def _crm_T(v):
-    """[6, B] -> [6, 6, B] spatial motion cross matrix."""
-    w = bl.skew(v[:3])
-    lin = bl.skew(v[3:])
-    zero = jnp.zeros_like(w)
-    top = jnp.concatenate([w, zero], axis=1)
-    bottom = jnp.concatenate([lin, w], axis=1)
-    return jnp.concatenate([top, bottom], axis=0)
-
-
 def mass_matrix_bias(model: PhysicsModel, qpos, qvel):
     """Diagnostics/testing API: (M [B, nv, nv] incl. armature, C [B, nv])."""
     qposT = qpos.T
     qvelT = qvel.T
-    M, C, *_ = _dynamics_T(model, qposT, qvelT)
+    M, f_bias, Rs, ps, v_list, cols = _dynamics_T(model, qposT, qvelT)
+    _, dof_body = _dof_structure(model)
+    C = _backward_project_T(model, cols, f_bias, dof_body)
     return jnp.transpose(M, (2, 0, 1)), C.T
 
 
+def _crba_M_T(model: PhysicsModel, cols, I_list, lam, dof_body):
+    """Composite-rigid-body mass matrix [nv, nv, B] (excl. armature).
+
+    Identical sum to per-body J^T I J accumulation, regrouped so only the
+    structurally-nonzero (dof, ancestor-dof) entries are computed: composite
+    world inertias I^C bottom-up, then M[d, j] = S_j^T I^C_{body(d)} S_d.
+    On the ant this is ~15x fewer [B]-wide madds than the dense masked
+    accumulation this replaced (measured round 5, see benchmarks/ROOFLINE.md).
+    """
+    B = cols.shape[-1]
+    Ic = list(I_list)
+    for i in range(model.nbody - 1, 0, -1):
+        par = int(model.parent[i])
+        Ic[par] = Ic[par] + Ic[i]
+    entries = {}
+    for d in range(model.nv):
+        F = bl.matvec(Ic[int(dof_body[d])], cols[d])      # [6, B]
+        j = d
+        while j != -1:
+            entries[(d, j)] = (cols[j] * F).sum(0)        # [B]
+            j = int(lam[j])
+    zero = jnp.zeros((B,))
+    rows = []
+    for i in range(model.nv):
+        row = []
+        for j in range(model.nv):
+            e = entries.get((i, j))
+            if e is None:
+                e = entries.get((j, i))
+            row.append(zero if e is None else e)
+        rows.append(jnp.stack(row))
+    return jnp.stack(rows)
+
+
+def _backward_project_T(model: PhysicsModel, cols, f_list, dof_body):
+    """RNEA-style backward pass: accumulate per-body world wrenches up the
+    tree, then project onto each dof's own axis — tau[d] = S_d^T f^tot_{b(d)}
+    ([nv, B]).  Equivalent to summing S_d^T f_b over every descendant body b
+    (what the dense masked-Jacobian projection computed), at 6 madds/dof."""
+    f_tot = list(f_list)
+    for i in range(model.nbody - 1, 0, -1):
+        par = int(model.parent[i])
+        f_tot[par] = f_tot[par] + f_tot[i]
+    return jnp.stack(
+        [(cols[d] * f_tot[int(dof_body[d])]).sum(0) for d in range(model.nv)]
+    )
+
+
 def _dynamics_T(model: PhysicsModel, qposT, qvelT, dr: Optional[DomainParams] = None):
-    """Core: returns (M [nv, nv, B], C [nv, B], Rs, ps, v list, cols)."""
+    """Core: returns (M [nv, nv, B] incl. armature, f_bias per-body list of
+    [6, B] world bias wrenches, Rs, ps, v list, cols)."""
     B = qposT.shape[-1]
-    masks = _ancestor_masks(model)
+    lam, dof_body = _dof_structure(model)
     Rs, ps = _kinematics_T(model, qposT)
     cols = _jacobian_columns_T(model, Rs, ps)  # [nv, 6, B]
 
@@ -233,10 +301,10 @@ def _dynamics_T(model: PhysicsModel, qposT, qvelT, dr: Optional[DomainParams] = 
     else:
         zeta0 = jnp.concatenate([jnp.zeros((3, B)), jnp.broadcast_to((-g.astype(np.float32))[:, None], (3, B))])
 
-    M = jnp.zeros((model.nv, model.nv, B))
-    C = jnp.zeros((model.nv, B))
     v_list = [None] * model.nbody
     zeta_list = [None] * model.nbody
+    I_list = [None] * model.nbody
+    f_bias = [None] * model.nbody
     zero6 = jnp.zeros((6, B))
 
     for i in range(model.nbody):
@@ -254,29 +322,24 @@ def _dynamics_T(model: PhysicsModel, qposT, qvelT, dr: Optional[DomainParams] = 
         else:
             own = own_moving = zero6
         v_i = v_par + own
-        zeta_i = z_par + bl.matvec(_crm_T(v_i), own_moving)
+        zeta_i = z_par + bl.cross_motion(v_i, own_moving)
         v_list[i] = v_i
         zeta_list[i] = zeta_i
 
         I_w = _spatial_inertia_T(model, i, Rs[i], ps[i])  # [6, 6, B]
         if dr is not None and dr.mass_scale is not None:
             I_w = I_w * dr.mass_scale[i]
-
-        # masked Jacobian of body i: J6 [6, nv, B]
-        J6 = bl.transpose(cols) * masks[i][None, :, None]
-        IJ = bl.matmul(I_w, J6)                       # [6, nv, B]
-        M = M + bl.matmul(bl.transpose(J6), IJ)       # [nv, nv, B]
+        I_list[i] = I_w
 
         Iv = bl.matvec(I_w, v_i)
-        crf = -bl.transpose(_crm_T(v_i))
-        f_bias = bl.matvec(I_w, zeta_i) + bl.matvec(crf, Iv)
-        C = C + (bl.transpose(J6) * f_bias[None, :, :]).sum(1)
+        f_bias[i] = bl.matvec(I_w, zeta_i) + bl.cross_force(v_i, Iv)
 
+    M = _crba_M_T(model, cols, I_list, lam, dof_body)
     armature = np.diag(model.dof_armature).astype(np.float32)[:, :, None]
     if dr is not None and dr.armature_scale is not None:
         armature = armature * dr.armature_scale
     M = M + armature
-    return M, C, Rs, ps, v_list, cols
+    return M, f_bias, Rs, ps, v_list, cols
 
 
 def contact_points_T(model, qposT):
@@ -298,11 +361,14 @@ def contact_anchor_init(model, qpos):
     return jnp.transpose(contact_points_T(model, qpos.T), (2, 0, 1))
 
 
-def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contact_dampratio,
-                   dr: Optional[DomainParams] = None, terrain: Optional[Terrain] = None,
-                   anchorsT=None):
-    """Generalized contact torques [nv, B] from penalty ground contacts,
-    plus updated stick-friction anchors.
+def _contact_wrenches_T(model, Rs, ps, v_list, contact_timeconst, contact_dampratio,
+                        dr: Optional[DomainParams] = None, terrain: Optional[Terrain] = None,
+                        anchorsT=None):
+    """Per-body world contact wrenches (list of [6, B], None where no
+    contact touches the body) from penalty ground contacts, plus updated
+    stick-friction anchors.  The generalized projection tau = J^T F happens
+    in the caller's shared RNEA backward pass (``_backward_project_T``)
+    instead of a per-contact masked-Jacobian product.
 
     Ground is the plane z=0, or a per-env heightfield when ``terrain`` is
     given (contact normal stays vertical — a penalty-model approximation
@@ -317,10 +383,9 @@ def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contac
     cannot produce static force at zero slip velocity, which makes feet
     creep under stance load — fatal for velocity-tracking locomotion.
     """
-    B = ps[0].shape[-1]
-    tau = jnp.zeros((model.nv, B))
+    wrenches = [None] * model.nbody
     if len(model.con_body) == 0:
-        return tau, anchorsT
+        return wrenches, anchorsT
     omega_c = 1.0 / contact_timeconst
     if dr is not None and dr.contact_stiffness_scale is not None:
         omega_c = omega_c * dr.contact_stiffness_scale
@@ -377,9 +442,8 @@ def _contact_tau_T(model, Rs, ps, v_list, cols, masks, contact_timeconst, contac
 
         f = jnp.stack([ft[0], ft[1], fn])                      # [3, B]
         F = jnp.concatenate([bl.cross(x, f), f])               # [6, B]
-        Jb = bl.transpose(cols) * masks[b][None, :, None]          # [6, nv, B]
-        tau = tau + (bl.transpose(Jb) * F[None, :, :]).sum(1)
-    return tau, jnp.stack(new_anchors)
+        wrenches[b] = F if wrenches[b] is None else wrenches[b] + F
+    return wrenches, jnp.stack(new_anchors)
 
 
 def forward_dynamics(model: PhysicsModel, qpos, qvel, ctrl,
@@ -436,18 +500,23 @@ def actuator_forces_T(model, qposT, qvelT, ctrlT, dr: Optional[DomainParams] = N
 def _forward_dynamics_T(model, qposT, qvelT, ctrlT,
                         contact_timeconst, contact_dampratio, limit_stiffness,
                         include_contacts, dr=None, terrain=None, anchorsT=None):
-    M, C, Rs, ps, v_list, cols = _dynamics_T(model, qposT, qvelT, dr)
-    masks = _ancestor_masks(model)
+    M, f_net, Rs, ps, v_list, cols = _dynamics_T(model, qposT, qvelT, dr)
+    lam, dof_body = _dof_structure(model)
 
-    tau = jnp.zeros_like(C)
     if include_contacts and len(model.con_body) > 0:
         if anchorsT is None:
             anchorsT = contact_points_T(model, qposT)
-        contact_tau, anchorsT = _contact_tau_T(
-            model, Rs, ps, v_list, cols, masks, contact_timeconst, contact_dampratio,
+        wrenches, anchorsT = _contact_wrenches_T(
+            model, Rs, ps, v_list, contact_timeconst, contact_dampratio,
             dr, terrain, anchorsT,
         )
-        tau = tau + contact_tau
+        # fold contact wrenches into the bias backward pass: the chain
+        # projection J^T F is exactly the ancestor accumulation RNEA does
+        f_net = [
+            fb if w is None else fb - w for fb, w in zip(f_net, wrenches)
+        ]
+    C = _backward_project_T(model, cols, f_net, dof_body)
+    tau = jnp.zeros_like(C)
 
     # actuators
     act_force = actuator_forces_T(model, qposT, qvelT, ctrlT, dr)
@@ -484,7 +553,7 @@ def _forward_dynamics_T(model, qposT, qvelT, ctrlT,
                 - jnp.where(engaged, d_lim * qvelT[d], 0.0)
             )
 
-    return bl.cholesky_solve(M, tau - C), anchorsT
+    return bl.ltdl_solve(M, tau - C, lam), anchorsT
 
 
 def _integrate_T(model, qposT, qvelT, qaccT, dt):
