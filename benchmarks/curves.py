@@ -384,7 +384,7 @@ RUNS["pendulum_masked_memory_actions_tuned"] = {
 }
 
 
-def run_ours(name, spec, device, seed):
+def run_ours(name, spec, device, seed, parallel_seeds=1):
     import jax
 
     overrides = dict(spec["overrides"])
@@ -422,6 +422,16 @@ def run_ours(name, spec, device, seed):
         "algorithm.evaluation_active": True,
         "environment.seed": seed,
     })
+    if parallel_seeds > 1:
+        # ONE vmapped program trains all seeds together (round-5 capability
+        # in every core); incompatible with chunked mode and callbacks —
+        # prefer for runs whose single execution the tunnel tolerates
+        overrides.update({
+            "algorithm.nr_parallel_seeds": parallel_seeds,
+            "runner.chunked_train": False,
+            "algorithm.logging_active": False,
+            "runner.save_model": False,
+        })
     config = make_config(spec["algorithm"], spec["environment"], **overrides)
     model = create_model(config)
     start = time.time()
@@ -430,23 +440,31 @@ def run_ours(name, spec, device, seed):
     hist = model.eval_history
     assert hist is not None, "evaluation_active run must produce eval_history"
     metric = spec.get("metric", "eval/episode_return")
-    out = {
-        "steps": [int(s) for s in hist["steps"]],
-        "returns": [float(r) for r in hist[metric]],
-        "metric": metric,
-        "wall_s": round(wall, 2),
-    }
-    for extra_key, out_key in [("eval/episode_length", "episode_lengths"),
-                               ("eval/episode_return", "episode_returns")]:
-        if extra_key in hist and extra_key != metric:
-            out[out_key] = [float(x) for x in hist[extra_key]]
-    # record any remaining eval diagnostics (e.g. eval/policy_std)
-    for k, v in hist.items():
-        if k.startswith("eval/") and k != metric and k not in (
-            "eval/episode_length", "eval/episode_return"
-        ):
-            out[k.split("eval/", 1)[1]] = [float(x) for x in v]
-    return out
+
+    def curve_from(select):
+        out = {
+            "steps": [int(s) for s in hist["steps"]],
+            "returns": [float(r) for r in select(hist[metric])],
+            "metric": metric,
+            "wall_s": round(wall, 2),
+        }
+        for extra_key, out_key in [("eval/episode_length", "episode_lengths"),
+                                   ("eval/episode_return", "episode_returns")]:
+            if extra_key in hist and extra_key != metric:
+                out[out_key] = [float(x) for x in select(hist[extra_key])]
+        # record any remaining eval diagnostics (e.g. eval/policy_std)
+        for k, v in hist.items():
+            if k.startswith("eval/") and k != metric and k not in (
+                "eval/episode_length", "eval/episode_return"
+            ):
+                out[k.split("eval/", 1)[1]] = [float(x) for x in select(v)]
+        return out
+
+    if parallel_seeds > 1:
+        # [seeds, points] leaves -> one curve per vmap lane; wall_s is the
+        # SHARED wall clock of the single vmapped program
+        return [curve_from(lambda v, lane=lane: v[lane]) for lane in range(parallel_seeds)]
+    return curve_from(lambda v: v)
 
 
 def _final(curve):
@@ -514,6 +532,10 @@ def main():
     parser.add_argument("--seeds", default="",
                         help="comma-separated seeds; runs each and records "
                              "per-seed finals + spread (passed = ALL pass)")
+    parser.add_argument("--parallel-seeds", type=int, default=1,
+                        help="train N seeds in ONE vmapped program "
+                             "(nr_parallel_seeds; ~Nx wall-clock saving on "
+                             "TPU for runs the tunnel tolerates unchunked)")
     parser.add_argument("--with-reference", action="store_true")
     parser.add_argument("--tag", default="", help="suffix for the results file")
     args = parser.parse_args()
@@ -539,13 +561,25 @@ def main():
         result["reference"] = run_reference(spec, spec["budget"], spec["eval_points"], args.seed)
         print(f"[curves] reference curve: {result['reference']['returns']}", flush=True)
 
-    seeds = [int(s) for s in args.seeds.split(",") if s] or [args.seed]
-    curves = {}
-    for s in seeds:
+    if args.parallel_seeds > 1:
         print(f"[curves] running OURS {spec['algorithm']} on {spec['environment']} "
-              f"seed={s} ...", flush=True)
-        curves[s] = run_ours(args.run, spec, args.device, s)
-        print(f"[curves] seed {s} curve: {curves[s]['returns']}", flush=True)
+              f"with {args.parallel_seeds} parallel seeds (one vmapped program) ...",
+              flush=True)
+        lanes = run_ours(args.run, spec, args.device, args.seed,
+                         parallel_seeds=args.parallel_seeds)
+        seeds = list(range(args.parallel_seeds))
+        curves = dict(enumerate(lanes))
+        for lane, c in curves.items():
+            print(f"[curves] lane {lane} curve: {c['returns']}", flush=True)
+        result["parallel_seeds"] = args.parallel_seeds
+    else:
+        seeds = [int(s) for s in args.seeds.split(",") if s] or [args.seed]
+        curves = {}
+        for s in seeds:
+            print(f"[curves] running OURS {spec['algorithm']} on {spec['environment']} "
+                  f"seed={s} ...", flush=True)
+            curves[s] = run_ours(args.run, spec, args.device, s)
+            print(f"[curves] seed {s} curve: {curves[s]['returns']}", flush=True)
 
     result["ours"] = curves[seeds[0]]
     finals = [_final(curves[s]) for s in seeds]

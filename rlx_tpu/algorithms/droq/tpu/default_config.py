@@ -28,6 +28,7 @@ def get_config(algorithm_name):
     config.evaluation_and_save_frequency = -1
     config.evaluation_active = True
     config.logging_active = True
+    config.nr_parallel_seeds = 1
     config.nr_critics = 2
     config.dropout_rate = 0.01
     config.q_update_steps = 20

@@ -59,6 +59,24 @@ class OffPolicyAlgorithm:
         self.logging_frequency = int(a.logging_frequency)
         self.evaluation_active = a.evaluation_active
 
+        # Parallel seeds: vmap the whole program (state init + prefill +
+        # train scan) over a seed axis, as the reference plumbs through every
+        # flax_full_jit family (`sac/flax_full_jit/sac.py:387`).  Same
+        # callback constraints as ppo.py:74-88.
+        self.nr_parallel_seeds = int(getattr(a, "nr_parallel_seeds", 1))
+        if self.nr_parallel_seeds > 1 and (a.logging_active or self.save_model):
+            raise ValueError(
+                "nr_parallel_seeds > 1 requires algorithm.logging_active=False "
+                "and runner.save_model=False (callbacks cannot run under vmap); "
+                "results are recorded per-seed in eval_history"
+            )
+        if self.nr_parallel_seeds > 1 and config.runner.chunked_train:
+            raise ValueError(
+                "nr_parallel_seeds > 1 runs one fused vmapped program and cannot "
+                "honor runner.chunked_train (bounded per-call device executions); "
+                "run seeds separately or disable chunked_train"
+            )
+
         # FastTD3-family sizing: buffer capacity and learning starts scale
         # with nr_envs (`fastmpo/flax_full_jit/default_config.py:46-48`).
         if int(getattr(a, "learning_starts_per_env", 0)) > 0:
@@ -291,7 +309,8 @@ class OffPolicyAlgorithm:
             jax.debug.callback(self._log_eval_callback, eval_metrics, eval_save_iteration_step)
         return eval_metrics
 
-    def _init_train_carry(self, key):
+    def _init_train_carry(self, key, states=None):
+        states = self.states if states is None else states
         key, reset_key = jax.random.split(key)
         env_state = self.train_env.reset(reset_key, eval_mode=False)
         env_state = mesh_lib.shard_batch(env_state, self.mesh)
@@ -317,7 +336,7 @@ class OffPolicyAlgorithm:
             (env_state, buffer, key), _ = jax.lax.scan(
                 prefill_step, (env_state, buffer, key), None, self.prefill_iterations
             )
-        return (self.states, buffer, env_state, key, -jnp.inf)
+        return (states, buffer, env_state, key, -jnp.inf)
 
     def _eval_save_iteration(self, carry, eval_save_iteration_step):
         states, buffer, env_state, key, best_return = carry
@@ -347,12 +366,49 @@ class OffPolicyAlgorithm:
 
         return jitable_train_function
 
+    def _train_parallel_seeds(self, run_key):
+        """vmap the ENTIRE training program (state init + buffer prefill +
+        train scan) over ``nr_parallel_seeds`` independent seeds on one chip.
+
+        Per-seed initial states are built eagerly (``setup_states`` is
+        family-specific and draws from ``self.key``, so each call yields an
+        independent init) and stacked onto the FIRST seed's treedef — the
+        per-call optax transforms are identical closures, so seed 0's static
+        structure serves all seeds.  Returns (first-seed states, eval_history
+        with a leading seed axis)."""
+        states_list = [self.states] + [
+            self.setup_states() for _ in range(self.nr_parallel_seeds - 1)
+        ]
+        treedef = jax.tree.structure(states_list[0])
+        stacked = jax.tree.unflatten(
+            treedef,
+            [jnp.stack(leaves)
+             for leaves in zip(*(jax.tree.leaves(s) for s in states_list))],
+        )
+
+        def per_seed(states, key):
+            return jax.lax.scan(
+                self._eval_save_iteration,
+                self._init_train_carry(key, states),
+                jnp.arange(self.nr_eval_save_iterations),
+            )
+
+        seed_keys = jax.random.split(run_key, self.nr_parallel_seeds)
+        carries, eval_history = jax.block_until_ready(
+            jax.jit(jax.vmap(per_seed))(stacked, seed_keys)
+        )
+        first_states = jax.tree.map(lambda x: x[0], carries[0])
+        return first_states, eval_history
+
     def train(self):
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        carry, eval_history = run_training_program(self, run_key)
-        self.states = carry[0]
+        if self.nr_parallel_seeds > 1:
+            self.states, eval_history = self._train_parallel_seeds(run_key)
+        else:
+            carry, eval_history = run_training_program(self, run_key)
+            self.states = carry[0]
         # callback-free curve record (see ppo.py train())
         self.eval_history = None
         if eval_history is not None:

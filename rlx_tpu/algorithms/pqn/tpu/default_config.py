@@ -25,5 +25,6 @@ def get_config(algorithm_name):
     config.evaluation_and_save_frequency = -1
     config.evaluation_active = True
     config.logging_active = True
+    config.nr_parallel_seeds = 1
 
     return config

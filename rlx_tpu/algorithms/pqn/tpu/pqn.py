@@ -90,17 +90,35 @@ class PQN:
             return self.learning_rate * fraction
 
         lr = linear_schedule if self.anneal_learning_rate else self.learning_rate
+        self._make_tx = lambda: optax.chain(
+            optax.clip_by_global_norm(self.max_grad_norm),
+            optax.inject_hyperparams(optax.adam)(learning_rate=lr),
+        )
+        self.critic_state = self._make_train_states(critic_key)
+        self.critic_state = jax.device_put(self.critic_state, mesh_lib.replicated_sharding(self.mesh))
+
+        # Parallel seeds (same contract/constraints as ppo.py:74-88)
+        self.nr_parallel_seeds = int(getattr(a, "nr_parallel_seeds", 1))
+        if self.nr_parallel_seeds > 1 and (a.logging_active or self.save_model):
+            raise ValueError(
+                "nr_parallel_seeds > 1 requires algorithm.logging_active=False "
+                "and runner.save_model=False (callbacks cannot run under vmap)"
+            )
+        if self.nr_parallel_seeds > 1 and config.runner.chunked_train:
+            raise ValueError(
+                "nr_parallel_seeds > 1 runs one fused vmapped program and cannot "
+                "honor runner.chunked_train"
+            )
+        self._last_log_time = time.time()
+
+    def _make_train_states(self, critic_key):
+        """Jittable per-seed Q-net/optimizer init."""
         dummy_obs = jnp.zeros((1,) + self.os_shape, jnp.float32)
-        self.critic_state = TrainState.create(
+        return TrainState.create(
             apply_fn=self.q_net.apply,
             params=self.q_net.init(critic_key, dummy_obs),
-            tx=optax.chain(
-                optax.clip_by_global_norm(self.max_grad_norm),
-                optax.inject_hyperparams(optax.adam)(learning_rate=lr),
-            ),
+            tx=self._make_tx(),
         )
-        self.critic_state = jax.device_put(self.critic_state, mesh_lib.replicated_sharding(self.mesh))
-        self._last_log_time = time.time()
 
     def epsilon(self, update_step):
         fraction = jnp.minimum(update_step / self.epsilon_decay_updates, 1.0)
@@ -189,11 +207,12 @@ class PQN:
             )
         return (critic_state, env_state, key), None
 
-    def _init_train_carry(self, key):
+    def _init_train_carry(self, key, states=None):
+        critic_state = self.critic_state if states is None else states
         key, reset_key = jax.random.split(key)
         env_state = self.train_env.reset(reset_key, eval_mode=False)
         env_state = mesh_lib.shard_batch(env_state, self.mesh)
-        return (self.critic_state, env_state, key)
+        return (critic_state, env_state, key)
 
     def _eval_save_iteration(self, carry, outer_step):
         critic_state, env_state, key = carry
@@ -241,12 +260,33 @@ class PQN:
             jax.debug.callback(self._log_eval_callback, eval_metrics, outer_step)
         return eval_metrics
 
+    def _train_parallel_seeds(self, run_key):
+        """vmap the whole program over a seed axis (ppo.py pattern)."""
+
+        def per_seed(key):
+            key, init_key = jax.random.split(key)
+            states = self._make_train_states(init_key)
+            return jax.lax.scan(
+                self._eval_save_iteration,
+                self._init_train_carry(key, states),
+                jnp.arange(self.nr_eval_save_iterations),
+            )
+
+        seed_keys = jax.random.split(run_key, self.nr_parallel_seeds)
+        carries, eval_history = jax.block_until_ready(
+            jax.jit(jax.vmap(per_seed))(seed_keys)
+        )
+        return jax.tree.map(lambda x: x[0], carries[0]), eval_history
+
     def train(self):
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        carry, eval_history = run_training_program(self, run_key)
-        self.critic_state = carry[0]
+        if self.nr_parallel_seeds > 1:
+            self.critic_state, eval_history = self._train_parallel_seeds(run_key)
+        else:
+            carry, eval_history = run_training_program(self, run_key)
+            self.critic_state = carry[0]
         # callback-free curve record (see ppo.py train())
         self.eval_history = None
         if eval_history is not None:

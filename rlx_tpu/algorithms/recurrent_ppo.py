@@ -63,6 +63,23 @@ class RecurrentPPO:
         self.max_grad_norm = a.max_grad_norm
         self.evaluation_active = a.evaluation_active
 
+        # Parallel seeds: the reference plumbs this through ppo_lstm's
+        # full_jit too (`ppo_lstm/flax_full_jit/ppo_lstm.py` caps it at 1);
+        # here the whole program vmaps over seeds (same rules as ppo.py:74-88)
+        self.nr_parallel_seeds = int(getattr(a, "nr_parallel_seeds", 1))
+        if self.nr_parallel_seeds > 1 and (a.logging_active or self.save_model):
+            raise ValueError(
+                "nr_parallel_seeds > 1 requires algorithm.logging_active=False "
+                "and runner.save_model=False (callbacks cannot run under vmap); "
+                "results are recorded per-seed in eval_history"
+            )
+        if self.nr_parallel_seeds > 1 and config.runner.chunked_train:
+            raise ValueError(
+                "nr_parallel_seeds > 1 runs one fused vmapped program and cannot "
+                "honor runner.chunked_train (bounded per-call device executions); "
+                "run seeds separately or disable chunked_train"
+            )
+
         self.batch_size = self.nr_envs * self.nr_steps
         self.nr_updates = max(self.total_timesteps // self.batch_size, 1)
         self.nr_minibatch_envs = self.nr_envs // self.nr_minibatches
@@ -128,22 +145,29 @@ class RecurrentPPO:
                 optax.inject_hyperparams(optax.adam)(learning_rate=lr),
             )
 
-        dummy_obs = jnp.zeros((self.nr_envs,) + self.os_shape, jnp.float32)
-        dummy_carry = self.policy.initialize_carry(self.nr_envs)
-        self.policy_state = TrainState.create(
-            apply_fn=self.policy.apply,
-            params=self.policy.init(policy_key, dummy_obs, dummy_carry, method=self.policy.one_step),
-            tx=make_tx(),
-        )
-        self.critic_state = TrainState.create(
-            apply_fn=self.critic.apply,
-            params=self.critic.init(critic_key, dummy_obs),
-            tx=make_tx(),
-        )
+        self._make_tx = make_tx
+        self.policy_state, self.critic_state = self._make_train_states(policy_key, critic_key)
         repl = mesh_lib.replicated_sharding(self.mesh)
         self.policy_state = jax.device_put(self.policy_state, repl)
         self.critic_state = jax.device_put(self.critic_state, repl)
         self._last_log_time = time.time()
+
+    def _make_train_states(self, policy_key, critic_key):
+        """Jittable per-seed network/optimizer init (vmapped by
+        ``_train_parallel_seeds``; called eagerly for single-seed runs)."""
+        dummy_obs = jnp.zeros((self.nr_envs,) + self.os_shape, jnp.float32)
+        dummy_carry = self.policy.initialize_carry(self.nr_envs)
+        policy_state = TrainState.create(
+            apply_fn=self.policy.apply,
+            params=self.policy.init(policy_key, dummy_obs, dummy_carry, method=self.policy.one_step),
+            tx=self._make_tx(),
+        )
+        critic_state = TrainState.create(
+            apply_fn=self.critic.apply,
+            params=self.critic.init(critic_key, dummy_obs),
+            tx=self._make_tx(),
+        )
+        return policy_state, critic_state
 
     # ----------------------------------------------------------------- train
 
@@ -312,12 +336,15 @@ class RecurrentPPO:
             jax.debug.callback(self._save_callback, policy_state, critic_state, is_best)
         return (policy_state, critic_state, env_state, policy_carry, key, best_return), eval_metrics
 
-    def _init_train_carry(self, key):
+    def _init_train_carry(self, key, states=None):
+        policy_state, critic_state = (
+            (self.policy_state, self.critic_state) if states is None else states
+        )
         key, reset_key = jax.random.split(key)
         env_state = self.train_env.reset(reset_key, eval_mode=False)
         env_state = mesh_lib.shard_batch(env_state, self.mesh)
         policy_carry = self.policy.initialize_carry(self.nr_envs)
-        return (self.policy_state, self.critic_state, env_state, policy_carry, key, -jnp.inf)
+        return (policy_state, critic_state, env_state, policy_carry, key, -jnp.inf)
 
     def build_train_function(self):
         def jitable_train_function(key):
@@ -337,12 +364,40 @@ class RecurrentPPO:
             self.eval_history = {"steps": steps}
             self.eval_history.update({k: np.asarray(v) for k, v in eval_history.items()})
 
+    def _train_parallel_seeds(self, run_key):
+        """vmap the ENTIRE training program (net init + env reset + train
+        scan) over ``nr_parallel_seeds`` independent seeds on one chip
+        (ppo.py:_train_parallel_seeds pattern; the reference caps this at 1).
+        Returns (first-seed states, eval_history with a leading seed axis)."""
+
+        def per_seed(key):
+            key, init_key = jax.random.split(key)
+            policy_key, critic_key = jax.random.split(init_key)
+            states = self._make_train_states(policy_key, critic_key)
+            return jax.lax.scan(
+                self._eval_save_iteration,
+                self._init_train_carry(key, states),
+                jnp.arange(self.nr_eval_save_iterations),
+            )
+
+        seed_keys = jax.random.split(run_key, self.nr_parallel_seeds)
+        carries, eval_history = jax.block_until_ready(
+            jax.jit(jax.vmap(per_seed))(seed_keys)
+        )
+        first = jax.tree.map(lambda x: x[0], (carries[0], carries[1]))
+        return first, eval_history
+
     def train(self):
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        carry, eval_history = run_training_program(self, run_key)
-        self.policy_state, self.critic_state = carry[0], carry[1]
+        if self.nr_parallel_seeds > 1:
+            (self.policy_state, self.critic_state), eval_history = (
+                self._train_parallel_seeds(run_key)
+            )
+        else:
+            carry, eval_history = run_training_program(self, run_key)
+            self.policy_state, self.critic_state = carry[0], carry[1]
         self._record_eval_history(eval_history)
         rlx_logger.info(f"Average time: {time.time() - start:.2f} s")
 

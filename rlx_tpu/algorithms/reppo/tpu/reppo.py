@@ -105,6 +105,20 @@ class REPPO:
         self.normalize_obs = a.normalize_observation
         self.evaluation_active = a.evaluation_active
 
+        # Parallel seeds (the reference's reppo full_jit plumbs this too,
+        # capped at 1); same callback constraints as ppo.py:74-88
+        self.nr_parallel_seeds = int(getattr(a, "nr_parallel_seeds", 1))
+        if self.nr_parallel_seeds > 1 and (a.logging_active or self.save_model):
+            raise ValueError(
+                "nr_parallel_seeds > 1 requires algorithm.logging_active=False "
+                "and runner.save_model=False (callbacks cannot run under vmap)"
+            )
+        if self.nr_parallel_seeds > 1 and config.runner.chunked_train:
+            raise ValueError(
+                "nr_parallel_seeds > 1 runs one fused vmapped program and cannot "
+                "honor runner.chunked_train"
+            )
+
         self.batch_size = self.nr_envs * self.nr_steps
         self.minibatch_size = self.batch_size // self.nr_minibatches
         self.nr_updates = max(self.total_timesteps // self.batch_size, 1)
@@ -146,24 +160,31 @@ class REPPO:
             observation_indices=getattr(train_env, "critic_observation_indices", None),
         )
 
-        tx = lambda: optax.chain(
+        self._make_tx = lambda: optax.chain(
             optax.clip_by_global_norm(a.max_grad_norm),
             optax.inject_hyperparams(optax.adam)(learning_rate=a.learning_rate),
         )
-        dummy_obs = jnp.zeros((1,) + self.os_shape, jnp.float32)
-        dummy_action = jnp.zeros((1, self.action_dim), jnp.float32)
-        self.policy_state = TrainState.create(
-            apply_fn=self.policy.apply, params=self.policy.init(policy_key, dummy_obs), tx=tx()
-        )
-        self.critic_state = TrainState.create(
-            apply_fn=self.critic.apply,
-            params=self.critic.init(critic_key, dummy_obs, dummy_action), tx=tx(),
-        )
+        self.policy_state, self.critic_state = self._make_train_states(policy_key, critic_key)
         repl = mesh_lib.replicated_sharding(self.mesh)
         self.policy_state = jax.device_put(self.policy_state, repl)
         self.critic_state = jax.device_put(self.critic_state, repl)
         self.obs_normalizer = normalizers.obs_normalizer_init(self.os_shape)
         self._last_log_time = time.time()
+
+    def _make_train_states(self, policy_key, critic_key):
+        """Jittable per-seed network/optimizer init (vmapped by
+        ``_train_parallel_seeds``; called eagerly for single-seed runs)."""
+        dummy_obs = jnp.zeros((1,) + self.os_shape, jnp.float32)
+        dummy_action = jnp.zeros((1, self.action_dim), jnp.float32)
+        policy_state = TrainState.create(
+            apply_fn=self.policy.apply,
+            params=self.policy.init(policy_key, dummy_obs), tx=self._make_tx(),
+        )
+        critic_state = TrainState.create(
+            apply_fn=self.critic.apply,
+            params=self.critic.init(critic_key, dummy_obs, dummy_action), tx=self._make_tx(),
+        )
+        return policy_state, critic_state
 
     # ------------------------------------------------------------------ math
 
@@ -338,11 +359,15 @@ class REPPO:
 
         return (policy_state, critic_state, obs_normalizer, env_state, key), None
 
-    def _init_train_carry(self, key):
+    def _init_train_carry(self, key, states=None):
+        policy_state, critic_state, obs_normalizer = (
+            (self.policy_state, self.critic_state, self.obs_normalizer)
+            if states is None else states
+        )
         key, reset_key = jax.random.split(key)
         env_state = self.train_env.reset(reset_key, eval_mode=False)
         env_state = mesh_lib.shard_batch(env_state, self.mesh)
-        return (self.policy_state, self.critic_state, self.obs_normalizer, env_state, key)
+        return (policy_state, critic_state, obs_normalizer, env_state, key)
 
     def _eval_save_iteration(self, carry, outer_step):
         policy_state, critic_state, obs_normalizer, env_state, key = carry
@@ -389,12 +414,39 @@ class REPPO:
             jax.debug.callback(self._log_eval_callback, eval_metrics, outer_step)
         return eval_metrics
 
+    def _train_parallel_seeds(self, run_key):
+        """vmap the whole program over a seed axis (ppo.py pattern)."""
+
+        def per_seed(key):
+            key, init_key = jax.random.split(key)
+            policy_key, critic_key = jax.random.split(init_key)
+            policy_state, critic_state = self._make_train_states(policy_key, critic_key)
+            states = (policy_state, critic_state,
+                      normalizers.obs_normalizer_init(self.os_shape))
+            return jax.lax.scan(
+                self._eval_save_iteration,
+                self._init_train_carry(key, states),
+                jnp.arange(self.nr_eval_save_iterations),
+            )
+
+        seed_keys = jax.random.split(run_key, self.nr_parallel_seeds)
+        carries, eval_history = jax.block_until_ready(
+            jax.jit(jax.vmap(per_seed))(seed_keys)
+        )
+        first = jax.tree.map(lambda x: x[0], (carries[0], carries[1], carries[2]))
+        return first, eval_history
+
     def train(self):
         self.key, run_key = jax.random.split(self.key)
         self._last_log_time = time.time()
         start = time.time()
-        carry, eval_history = run_training_program(self, run_key)
-        self.policy_state, self.critic_state, self.obs_normalizer = carry[0], carry[1], carry[2]
+        if self.nr_parallel_seeds > 1:
+            (self.policy_state, self.critic_state, self.obs_normalizer), eval_history = (
+                self._train_parallel_seeds(run_key)
+            )
+        else:
+            carry, eval_history = run_training_program(self, run_key)
+            self.policy_state, self.critic_state, self.obs_normalizer = carry[0], carry[1], carry[2]
         # callback-free curve record (see ppo.py train())
         self.eval_history = None
         if eval_history is not None:

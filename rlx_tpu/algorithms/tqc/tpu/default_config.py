@@ -28,6 +28,7 @@ def get_config(algorithm_name):
     config.evaluation_and_save_frequency = -1
     config.evaluation_active = True
     config.logging_active = True
+    config.nr_parallel_seeds = 1
     config.nr_critics = 2
     config.nr_atoms_per_net = 25
     config.nr_dropped_atoms_per_net = 2
