@@ -80,6 +80,21 @@ def _patched_wrapper_getattr(self, name):
 gymnasium.Wrapper.__init__ = _patched_wrapper_init
 gymnasium.Wrapper.__getattr__ = _patched_wrapper_getattr
 
+# nr_envs > 1 routes to the reference's AsyncVectorEnvWithSkipping, whose
+# super().__init__ positional args moved in gymnasium 1.2.  For overlay runs
+# substitute SyncVectorEnv: with the reference's async_skip_percentage
+# default of 0.0 the step semantics are identical (no env is ever skipped),
+# and on this 2-core box async workers add no parallelism anyway.
+import rl_x.environments.gym.mujoco.humanoid_v4.create_env as _ref_create_env
+
+
+def _sync_no_skip(env_fns, async_skip_percentage=0.0):
+    assert async_skip_percentage == 0.0, "Sync substitution requires skip=0"
+    return SyncVectorEnv(env_fns)
+
+
+_ref_create_env.AsyncVectorEnvWithSkipping = _sync_no_skip
+
 from rl_x.runner.runner import Runner
 
 if __name__ == "__main__":

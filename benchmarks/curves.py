@@ -82,10 +82,15 @@ RUNS = {
         "budget": 300_000, "threshold": 800.0, "eval_points": 12,
         "overrides": {**_REF_PPO, "environment.nr_envs": 8},
         "reference": {
-            # nr_envs=1 is the reference's own default; its async wrapper
-            # predates gymnasium 1.2 (see _refshim/run_reference.py)
+            # 8 envs x 256 steps = the SAME 2048-sample batch as both the
+            # reference's nr_envs=1 default and our recipe above — identical
+            # update cadence, ~8x fewer host-loop dispatches (the r4 overlay
+            # at nr_envs=1 managed 49k steps in 2.4h; see overlay_bg.py).
+            # Async wrapper is Sync-substituted at skip=0 (see
+            # _refshim/run_reference.py).
             "algorithm": "ppo.flax", "environment": "gym.mujoco.humanoid_v4",
-            "type": "Hopper-v5", "nr_envs": 1,
+            "type": "Hopper-v5", "nr_envs": 8,
+            "algorithm_overrides": {"algorithm.nr_steps": 256},
         },
     },
     "halfcheetah_sac": {  # BASELINE config 3, head-to-head vs reference sac.flax

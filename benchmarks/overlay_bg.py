@@ -39,7 +39,9 @@ def start(args):
     ref = spec["reference"]
     budget = args.budget or spec["budget"]
     eval_freq = max(budget // args.eval_points, 1)
-    ref_batch = 2048 * ref["nr_envs"]
+    overrides = ref.get("algorithm_overrides", {})
+    nr_steps = int(overrides.get("algorithm.nr_steps", 2048))
+    ref_batch = nr_steps * ref["nr_envs"]
     if ref["algorithm"].startswith("ppo"):
         eval_freq = max(eval_freq // ref_batch, 1) * ref_batch
     shim = os.path.join(REPO, "benchmarks", "_refshim")
@@ -59,7 +61,8 @@ def start(args):
         f"--algorithm.total_timesteps={budget}",
         f"--algorithm.evaluation_frequency={eval_freq}",
         f"--algorithm.evaluation_episodes={args.eval_episodes}",
-    ]
+    ] + [f"--{k}={v}" for k, v in overrides.items()]
+    env["PYTHONUNBUFFERED"] = "1"  # stream console boxes to the log live
     os.makedirs(LOG_DIR, exist_ok=True)
     meta = {"run": args.run, "budget": budget, "seed": args.seed,
             "started": time.time()}
