@@ -93,6 +93,17 @@ RUNS = {
             "algorithm_overrides": {"algorithm.nr_steps": 256},
         },
     },
+    "walker2d_ppo": {  # second on-policy head-to-head (VERDICT r4 next #6)
+        "algorithm": "ppo.tpu", "environment": "gym.mujoco.walker2d_v5.host",
+        "budget": 300_000, "threshold": 600.0, "eval_points": 12,
+        "overrides": {**_REF_PPO, "environment.nr_envs": 8},
+        "reference": {
+            # same 2048-sample-batch recipe rationale as hopper_ppo above
+            "algorithm": "ppo.flax", "environment": "gym.mujoco.humanoid_v4",
+            "type": "Walker2d-v5", "nr_envs": 8,
+            "algorithm_overrides": {"algorithm.nr_steps": 256},
+        },
+    },
     "halfcheetah_sac": {  # BASELINE config 3, head-to-head vs reference sac.flax
         "algorithm": "sac.tpu", "environment": "gym.mujoco.half_cheetah_v5.host",
         "budget": 100_000, "threshold": 2000.0, "eval_points": 8,
@@ -488,7 +499,8 @@ def run_reference(spec, budget, eval_points, seed):
     eval_freq = max(budget // eval_points, 1)
     # the reference asserts eval_freq % (nr_steps * nr_envs) == 0
     # (`rl_x/algorithms/ppo/flax/ppo.py:63-65`); align to its batch
-    ref_batch = 2048 * ref["nr_envs"]  # reference default nr_steps = 2048
+    overrides = ref.get("algorithm_overrides", {})
+    ref_batch = int(overrides.get("algorithm.nr_steps", 2048)) * ref["nr_envs"]
     if ref["algorithm"].startswith("ppo"):
         eval_freq = max(eval_freq // ref_batch, 1) * ref_batch
     shim = os.path.join(REPO, "benchmarks", "_refshim")
@@ -508,7 +520,7 @@ def run_reference(spec, budget, eval_points, seed):
         f"--algorithm.total_timesteps={budget}",
         f"--algorithm.evaluation_frequency={eval_freq}",
         "--algorithm.evaluation_episodes=5",
-    ]
+    ] + [f"--{k}={v}" for k, v in overrides.items()]
     start = time.time()
     proc = subprocess.run(cmd, capture_output=True, text=True, env=env, cwd="/tmp")
     wall = time.time() - start
