@@ -104,6 +104,11 @@ def main():
             extra.update(bench_offpolicy(env_name))
         except Exception as e:  # the headline PPO number must survive
             extra["offpolicy_error"] = str(e)[:200]
+    if os.environ.get("RLX_BENCH_CONV", "1") != "0":
+        try:
+            extra.update(bench_conv())
+        except Exception as e:
+            extra["conv_error"] = str(e)[:200]
     if extra:
         result["extra"] = extra
     print(json.dumps(result))
@@ -241,6 +246,46 @@ def bench_offpolicy(env_name, nr_envs=1024, iterations=512):
         "sac_env_steps_per_s": round(total_updates * nr_envs / elapsed),
         "sac_nr_envs": nr_envs,
         "sac_batch_size": 8192,
+    }
+
+
+def bench_conv(nr_envs=128, iterations=256):
+    """Conv-net (NatureCNN) throughput: DQN on the 84x84x4 pixel_chase env,
+    1 update (batch 256) per vectorized env step — the image track's
+    BASELINE-config-4 stand-in number (curve record:
+    benchmarks/results/pixel_chase_dqn.json)."""
+    import jax
+
+    from rlx_tpu.config import create_model, make_config
+
+    config = make_config(
+        "dqn.tpu",
+        "classic.pixel_chase.tpu",
+        **{
+            "environment.nr_envs": nr_envs,
+            "algorithm.total_timesteps": nr_envs + 2 * iterations * nr_envs,
+            "algorithm.learning_starts": nr_envs,
+            "algorithm.buffer_size": nr_envs * 64,
+            "algorithm.batch_size": 256,
+            "algorithm.update_frequency": 1,
+            "algorithm.logging_frequency": iterations * nr_envs,
+            "algorithm.evaluation_active": False,
+            "algorithm.logging_active": False,
+        },
+    )
+    model = create_model(config)
+    train_function = jax.jit(model.build_train_function())
+    jax.block_until_ready(train_function(jax.random.PRNGKey(0)))  # compile
+
+    start = time.perf_counter()
+    jax.block_until_ready(train_function(jax.random.PRNGKey(1)))
+    elapsed = time.perf_counter() - start
+
+    total_updates = 2 * iterations
+    return {
+        "dqn_pixel_updates_per_s": round(total_updates / elapsed, 1),
+        "dqn_pixel_env_steps_per_s": round(total_updates * nr_envs / elapsed),
+        "dqn_pixel_obs": "84x84x4 uint8 replay, NatureCNN, batch 256",
     }
 
 

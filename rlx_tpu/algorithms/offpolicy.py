@@ -110,6 +110,16 @@ class OffPolicyAlgorithm:
         self.discrete = (
             train_env.general_properties.action_space_type == ActionSpaceType.DISCRETE
         )
+        # Image observations replay as uint8 (4x less HBM than f32 — an
+        # 84x84x4 stack at 50k capacity is 2.8 GB instead of 11.3 GB; the
+        # Atari convention).  Envs emit integral 0..255 floats, so the cast
+        # is exact; NatureCNN casts back to f32 on the way in.
+        from rlx_tpu.environments.types import ObservationSpaceType
+
+        self.image_obs = (
+            train_env.general_properties.observation_space_type == ObservationSpaceType.IMAGES
+        )
+        self.obs_store_dtype = jnp.uint8 if self.image_obs else jnp.float32
         if self.discrete:
             self.nr_actions = train_env.single_action_space.n
             self.action_dim = 1
@@ -199,8 +209,8 @@ class OffPolicyAlgorithm:
             self.capacity,
             self.nr_envs,
             {
-                "observation": (self.os_shape, jnp.float32),
-                "next_observation": (self.os_shape, jnp.float32),
+                "observation": (self.os_shape, self.obs_store_dtype),
+                "next_observation": (self.os_shape, self.obs_store_dtype),
                 "action": ((), jnp.int32) if self.discrete else ((self.action_dim,), jnp.float32),
                 "reward": ((), jnp.float32),
                 "terminated": ((), jnp.float32),
@@ -227,8 +237,8 @@ class OffPolicyAlgorithm:
         return rb.add(
             buffer,
             {
-                "observation": observation,
-                "next_observation": env_state.final_observation,
+                "observation": observation.astype(self.obs_store_dtype),
+                "next_observation": env_state.final_observation.astype(self.obs_store_dtype),
                 "action": action,
                 "reward": env_state.reward,
                 "terminated": env_state.terminated.astype(jnp.float32),
