@@ -1,5 +1,5 @@
-"""Defaults follow `rl_x/algorithms/flashsac/flax_full_jit/default_config.py`
-(with Gym-scale logging cadence)."""
+"""Defaults follow `rl_x/algorithms/flashsac/flax/default_config.py`
+(learning-rate warmup-cosine band, categorical critic grid, zeta noise)."""
 
 from ml_collections import config_dict
 
@@ -10,37 +10,32 @@ def get_config(algorithm_name):
     config.name = algorithm_name
 
     config.total_timesteps = 1_000_000
-    config.learning_rate = 3e-4
-    config.anneal_learning_rate = False
+    config.learning_rate = 3e-4  # base (core bookkeeping); schedule below
+    config.learning_rate_init = 3e-4
+    config.learning_rate_peak = 3e-4
+    config.learning_rate_end = 1.5e-4
+    config.learning_rate_warmup_steps = 0
     config.buffer_size = 1_000_000
-    config.learning_starts = 5_000
-    config.batch_size = 256
-    config.tau = 0.005
+    config.learning_starts = 10_000
+    config.batch_size = 512
+    config.policy_delay = 2
     config.gamma = 0.99
-    config.target_entropy = "auto"
-    config.log_std_min = -20.0
-    config.log_std_max = 2.0
-    config.policy_hidden_sizes = (256, 256)  # unused (hypersphere dims below)
-    config.critic_hidden_sizes = (256, 256)  # unused
+    config.n_step = 1
+    config.tau = 0.01
     config.policy_hidden_dim = 128
-    config.policy_nr_blocks = 1
-    config.critic_hidden_dim = 512
+    config.policy_nr_blocks = 2
+    config.critic_hidden_dim = 256
     config.critic_nr_blocks = 2
+    config.nr_critics = 2
     config.nr_atoms = 101
+    config.normalized_g_max = 5.0
     config.v_min = -5.0
     config.v_max = 5.0
-    config.policy_delay = 2
-    config.noise_zeta_mu = 2.0
-    config.noise_zeta_max_repeat = 64
-    config.enable_observation_normalization = True
+    config.init_entropy_coefficient = 0.01
+    config.target_entropy_sigma = 0.15
     config.enable_reward_normalization = True
-    config.nr_critics = 2
-    # Hypersphere layers normalize weights by construction; the explicit XQC
-    # weight-norm projection (inherited via XQC.setup_states) stays off.
-    config.use_weight_norm = False
-    config.normalize_last_layer = False
-    config.activation = "relu"
-    config.layer_norm = False
+    config.noise_zeta_mu = 2.0
+    config.noise_zeta_max_repeat = 16
     config.shard_local_sampling = True
     config.logging_frequency = 5_000
     config.evaluation_and_save_frequency = -1
