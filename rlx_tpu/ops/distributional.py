@@ -12,6 +12,8 @@ All ops are batched, static-shaped, and differentiable where needed.
 import jax
 import jax.numpy as jnp
 
+from rlx_tpu.ops import _dispatch
+
 
 def categorical_projection(target_z, probs, v_min, v_max, nr_atoms):
     """Project probability mass at positions ``target_z`` [..., A] with
@@ -62,7 +64,17 @@ def categorical_projection_dense(target_z, probs, v_min, v_max, nr_atoms):
     weight tensor is generated on the fly and contracted immediately
     (VPU/MXU-friendly); mathematically identical to
     ``categorical_projection`` (tests/test_distributional.py).
+
+    Dispatches to the VMEM-resident Pallas kernel
+    (ops/projection_pallas.py) when ``runner.pallas_kernels`` is on.
     """
+    if _dispatch.use_pallas():
+        from rlx_tpu.ops.projection_pallas import categorical_projection_pallas
+
+        return categorical_projection_pallas(
+            target_z, probs, float(v_min), float(v_max), int(nr_atoms),
+            interpret=_dispatch.interpret(),
+        )
     delta_z = (v_max - v_min) / (nr_atoms - 1)
     b = (jnp.clip(target_z, v_min, v_max) - v_min) / delta_z      # [..., A_in]
     atoms = jnp.arange(nr_atoms, dtype=probs.dtype)               # [A_out]

@@ -15,10 +15,22 @@ of the reference's index-array scan + reversal/concatenate
 import jax
 import jax.numpy as jnp
 
+from rlx_tpu.ops import _dispatch
+
 
 def gae_advantages(rewards, values, next_values, terminations, gamma, gae_lambda):
     """All inputs ``[T, B]`` float32 (terminations may be bool). Returns
-    (advantages, returns), both ``[T, B]``."""
+    (advantages, returns), both ``[T, B]``.
+
+    Dispatches to the fused Pallas kernel (ops/gae_pallas.py) when
+    ``runner.pallas_kernels`` is on (direct-attached TPUs)."""
+    if _dispatch.use_pallas():
+        from rlx_tpu.ops.gae_pallas import gae_advantages_pallas
+
+        return gae_advantages_pallas(
+            rewards, values, next_values, terminations,
+            float(gamma), float(gae_lambda), interpret=_dispatch.interpret(),
+        )
     terminations = terminations.astype(rewards.dtype)
     deltas = rewards + gamma * next_values * (1.0 - terminations) - values
 

@@ -45,6 +45,12 @@ def get_config():
     # with the fused scan is pinned by tests/test_chunked_train.py.
     config.chunked_train = False
 
+    # Pallas kernel paths for the hot ops (GAE, categorical projection):
+    # "off" = fused-XLA defaults; "on" = Mosaic kernels (direct-attached
+    # TPUs only — Mosaic hangs over the hosted axon tunnel); "interpret" =
+    # same kernels through the Pallas interpreter (validation).
+    config.pallas_kernels = "off"
+
     # Device mesh ("dp", "tp"); dp = -1 means all remaining devices.
     config.mesh_dp = -1
     config.mesh_tp = 1

@@ -276,6 +276,9 @@ class Runner:
 
     def _train(self, _argv):
         config = self._combined_config()
+        from rlx_tpu.ops import _dispatch as ops_dispatch
+
+        ops_dispatch.set_mode(config.runner.pallas_kernels)
         run_path = self._make_run_path(config)
         writer = self._make_writer(config, run_path)
 
@@ -313,6 +316,9 @@ class Runner:
 
     def _test(self, _argv):
         config = self._combined_config()
+        from rlx_tpu.ops import _dispatch as ops_dispatch
+
+        ops_dispatch.set_mode(config.runner.pallas_kernels)
         run_path = self._make_run_path(config)
         writer = self._make_writer(config, run_path)
 
