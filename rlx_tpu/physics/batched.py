@@ -123,6 +123,14 @@ def quat_integrate(q, omega_local, dt):
 
 def rodrigues(axis, angle):
     """const axis [3], angle [B] -> [3, 3, B] rotation about the axis."""
+    return rodrigues_sc(axis, jnp.sin(angle), jnp.cos(angle))
+
+
+def rodrigues_sc(axis, s, c):
+    """Rodrigues rotation from precomputed sin/cos [B] (lets the caller
+    batch ALL joint angles' trig into one [n_hinge, B] sin + cos pair
+    instead of 2 ops per joint — fewer kernels on the fragmentation-bound
+    FK path, see benchmarks/ROOFLINE.md round 5)."""
     K = np.array(
         [
             [0.0, -float(axis[2]), float(axis[1])],
@@ -132,7 +140,6 @@ def rodrigues(axis, angle):
         dtype=np.float32,
     )
     KK = K @ K
-    s, c = jnp.sin(angle), jnp.cos(angle)
     eye = np.eye(3, dtype=np.float32)
     return eye[:, :, None] + s[None, None, :] * K[:, :, None] + (1.0 - c)[None, None, :] * KK[:, :, None]
 

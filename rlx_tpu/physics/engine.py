@@ -143,6 +143,18 @@ def _kinematics_T(model: PhysicsModel, qposT):
     Rs, ps = [], []
     eye = jnp.broadcast_to(np.eye(3, dtype=np.float32)[:, :, None], (3, 3, B))
     zero3 = jnp.zeros((3, B))
+    # Batch ALL hinge angles' trig into one sin + one cos over [n_hinge, B]
+    # (the per-joint sin/cos pairs were 2 kernels each on the
+    # fragmentation-bound FK path; the angles are chain-independent).
+    hinge_bodies = [
+        i for i in range(model.nbody) if int(model.jnt_type[i]) == HINGE
+    ]
+    trig = {}
+    if hinge_bodies:
+        # static slices (not a gather) so the same body lowers in Mosaic
+        angles = jnp.stack([qposT[int(model.qpos_adr[i])] for i in hinge_bodies])
+        sins, coss = jnp.sin(angles), jnp.cos(angles)
+        trig = {i: (sins[k], coss[k]) for k, i in enumerate(hinge_bodies)}
     for i in range(model.nbody):
         par = int(model.parent[i])
         Rp, pp = (Rs[par], ps[par]) if par != -1 else (eye, zero3)
@@ -165,8 +177,8 @@ def _kinematics_T(model: PhysicsModel, qposT):
             p = qposT[qa: qa + 3]
             R = bl.quat_to_rot(qposT[qa + 3: qa + 7])
         elif jt == HINGE:
-            qa = int(model.qpos_adr[i])
-            R_axis = bl.rodrigues(np.asarray(model.jnt_axis[i]), qposT[qa])
+            s, c = trig[i]
+            R_axis = bl.rodrigues_sc(np.asarray(model.jnt_axis[i]), s, c)
             R = bl.matmul(R_frame, R_axis)
             anchor = np.asarray(model.jnt_pos[i])
             p = p_frame + bl.matvec_const(R_frame - R, anchor)
