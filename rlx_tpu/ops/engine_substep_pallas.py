@@ -52,15 +52,23 @@ from rlx_tpu.physics import engine as _engine
 
 
 def _make_substep_body(model, nr_substeps, contact_timeconst, contact_dampratio,
-                       limit_stiffness, has_contacts):
+                       limit_stiffness, has_contacts, dr_names):
     dt = float(model.timestep)
 
-    def body(qposT, qvelT, ctrl_seq, anchorsT):
+    def body(qposT, qvelT, ctrl_seq, anchorsT, *dr_vals):
+        dr = None
+        if dr_names:
+            # rebuild DomainParams from the kernel inputs; [B] fields were
+            # lifted to [1, B] for tiling and squeeze back here
+            dr = _engine.DomainParams(**{
+                name: (val[0] if squeeze else val)
+                for (name, squeeze), val in zip(dr_names, dr_vals)
+            })
         for s in range(nr_substeps):
             qaccT, new_anchors = _engine._forward_dynamics_T(
                 model, qposT, qvelT, ctrl_seq[s],
                 contact_timeconst, contact_dampratio, limit_stiffness,
-                has_contacts, None, None,
+                has_contacts, dr, None,
                 anchorsT if has_contacts else None,
             )
             if has_contacts:
@@ -82,10 +90,10 @@ def step_pallas(model, qpos, qvel, ctrl, nr_substeps=1,
     returns (qpos, qvel) or (qpos, qvel, contact_state) exactly like
     ``engine.step``.
     """
-    if dr is not None or terrain is not None:
+    if terrain is not None:
         raise NotImplementedError(
-            "step_pallas covers the un-randomized plane-ground path; "
-            "DomainParams / Terrain stay on the XLA engine path"
+            "step_pallas covers the plane-ground path (the heightfield "
+            "lookup is a dynamic gather); Terrain stays on the XLA engine path"
         )
     B, nq = qpos.shape
     nv = qvel.shape[1]
@@ -112,9 +120,23 @@ def step_pallas(model, qpos, qvel, ctrl, nr_substeps=1,
     else:
         anchorsT = jnp.zeros((1, 2, B), jnp.float32)
 
+    # Per-env DomainParams ride along as lane-blocked inputs: every field is
+    # [..., B] batch-last; [B] fields are lifted to [1, B] for tiling.
+    dr_names, dr_arrays = [], []
+    if dr is not None:
+        for name in dr._fields:
+            val = getattr(dr, name)
+            if val is None:
+                continue
+            squeeze = val.ndim == 1
+            dr_names.append((name, squeeze))
+            dr_arrays.append(
+                (val[None] if squeeze else val).astype(jnp.float32)
+            )
+
     body = _make_substep_body(
         model, int(nr_substeps), contact_timeconst, contact_dampratio,
-        limit_stiffness, has_contacts,
+        limit_stiffness, has_contacts, dr_names,
     )
     # Lift the model's non-scalar trace-time constants (pallas_call forbids
     # captured array constants) into explicit kernel inputs: trace the body
@@ -125,14 +147,19 @@ def step_pallas(model, qpos, qvel, ctrl, nr_substeps=1,
         jax.ShapeDtypeStruct((nv, block_b), jnp.float32),
         jax.ShapeDtypeStruct((nr_substeps, max(nu, 1), block_b), jnp.float32),
         jax.ShapeDtypeStruct((max(ncon, 1), 2, block_b), jnp.float32),
+    ] + [
+        jax.ShapeDtypeStruct(a.shape[:-1] + (block_b,), jnp.float32)
+        for a in dr_arrays
     ]
     closed_jaxpr = jax.make_jaxpr(body)(*tile_example)
     consts = [jnp.asarray(c) for c in closed_jaxpr.consts]
 
+    n_args = 4 + len(dr_arrays)
+
     def kernel(*refs):
-        arg_refs = refs[:4]
-        const_refs = refs[4: 4 + len(consts)]
-        out_refs = refs[4 + len(consts):]
+        arg_refs = refs[:n_args]
+        const_refs = refs[n_args: n_args + len(consts)]
+        out_refs = refs[n_args + len(consts):]
         outs = jax.core.eval_jaxpr(
             closed_jaxpr.jaxpr,
             [r[:] for r in const_refs],
@@ -156,6 +183,7 @@ def step_pallas(model, qpos, qvel, ctrl, nr_substeps=1,
             lane_block(nv),
             lane_block(nr_substeps, max(nu, 1)),
             lane_block(max(ncon, 1), 2),
+            *[lane_block(*a.shape[:-1]) for a in dr_arrays],
             *[const_block(c) for c in consts],
         ],
         out_specs=[
@@ -169,7 +197,7 @@ def step_pallas(model, qpos, qvel, ctrl, nr_substeps=1,
             jax.ShapeDtypeStruct((max(ncon, 1), 2, B), jnp.float32),
         ],
         interpret=interpret,
-    )(qposT, qvelT, ctrl_seq, anchorsT, *consts)
+    )(qposT, qvelT, ctrl_seq, anchorsT, *dr_arrays, *consts)
 
     if contact_state is not None:
         return qposT.T, qvelT.T, jnp.transpose(anchorsT, (2, 0, 1))

@@ -599,7 +599,27 @@ def step(model: PhysicsModel, qpos, qvel, ctrl, nr_substeps=1,
     the return is ``(qpos, qvel, new_contact_state)`` and static friction
     holds across calls; when None, anchors are initialized from the entry
     pose (stick within this call only) and the return stays ``(qpos, qvel)``.
+
+    When ``--runner.pallas_kernels`` is on, plane-ground steps route through
+    the VMEM-resident Mosaic substep kernel
+    (``rlx_tpu.ops.engine_substep_pallas``) — same math, one kernel per
+    batch tile; heightfield terrain and non-tileable batches fall back to
+    this XLA path.
     """
+    from rlx_tpu.ops import _dispatch
+
+    B = qpos.shape[0]
+    if _dispatch.use_pallas() and terrain is None and B % min(256, B) == 0:
+        from rlx_tpu.ops.engine_substep_pallas import step_pallas
+
+        return step_pallas(
+            model, qpos, qvel, ctrl, nr_substeps=nr_substeps,
+            contact_timeconst=contact_timeconst,
+            contact_dampratio=contact_dampratio,
+            limit_stiffness=limit_stiffness, dr=dr, terrain=None,
+            ctrl_sequence=ctrl_sequence, contact_state=contact_state,
+            interpret=_dispatch.interpret(),
+        )
     dt = model.timestep
 
     def substep(carry, ctrlT):

@@ -84,13 +84,47 @@ def test_substep_kernel_ctrl_sequence():
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=1e-5, atol=1e-5)
 
 
+def test_substep_kernel_domain_params_match_engine():
+    """Per-env DomainParams ride into the kernel as lane-blocked inputs —
+    randomized physics (the flagship training path) matches the engine."""
+    model = load_mjcf(xml_path=ANT_XML, keyframe="home")
+    B = 16
+    qpos, qvel, ctrl = _batch_state(model, ANT_XML, None, B, 4, 0.75)
+    rng = np.random.default_rng(5)
+    import jax.numpy as jnp
+
+    dr = engine.DomainParams(
+        mass_scale=jnp.asarray(
+            rng.uniform(0.8, 1.2, size=(len(model.body_mass), B)), jnp.float32
+        ),
+        damping_scale=jnp.asarray(rng.uniform(0.5, 1.5, size=(B,)), jnp.float32),
+        kp_scale=jnp.asarray(
+            rng.uniform(0.9, 1.1, size=(len(model.act_dof), B)), jnp.float32
+        ),
+        gravity=jnp.asarray(
+            np.broadcast_to([0.0, 0.0, -9.81], (B, 3)).T
+            * rng.uniform(0.9, 1.1, size=(B,)),
+            jnp.float32,
+        ),
+    )
+    anchors = engine.contact_anchor_init(model, qpos)
+    ref = engine.step(model, qpos, qvel, ctrl, nr_substeps=2, dr=dr,
+                      contact_state=anchors)
+    out = step_pallas(model, qpos, qvel, ctrl, nr_substeps=2, dr=dr,
+                      contact_state=anchors, block_b=16, interpret=True)
+    for r, o in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=1e-5, atol=1e-5)
+
+
 def test_substep_kernel_rejects_unsupported_paths():
     model = load_mjcf(xml_string=TEST_XML)
     qpos, qvel, ctrl = _batch_state(model, None, TEST_XML, 16, 3, 2.0)
     with pytest.raises(NotImplementedError):
         step_pallas(
             model, qpos, qvel, ctrl,
-            dr=engine.DomainParams(damping_scale=np.ones((16,), np.float32)),
+            terrain=engine.Terrain(
+                height=np.zeros((4 * 4, 16), np.float32), n=4, half_extent_m=1.0
+            ),
             interpret=True,
         )
     with pytest.raises(ValueError):

@@ -79,3 +79,29 @@ def test_c51_trains_through_pallas_projection_kernel():
     model.train()
     for leaf in jax.tree.leaves(model.states["critic"].params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_ant_env_steps_through_pallas_substep_kernel():
+    """With the flag on, the ant env's physics routes through the Mosaic
+    substep kernel (interpreter here) and matches the XLA engine path."""
+    import jax.numpy as jnp
+
+    from rlx_tpu.environments.environment_manager import get_environment_create_env
+
+    def rollout(mode, steps=3):
+        _dispatch.set_mode(mode)
+        config = make_config("ppo.tpu", "locomotion.ant.tpu",
+                             **{"environment.nr_envs": 8})
+        train_env, eval_env = get_environment_create_env("locomotion.ant.tpu")(config)
+        state = train_env.reset(jax.random.PRNGKey(0), eval_mode=True)
+        action = jnp.zeros((8,) + train_env.single_action_space.shape)
+        for _ in range(steps):
+            state = train_env.step(state, action)
+        return state
+
+    base = rollout("off")
+    via = rollout("interpret")
+    for a, b in zip(jax.tree.leaves(base), jax.tree.leaves(via)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5
+        )
