@@ -287,11 +287,21 @@ RUNS["pendulum_spot_fastsac"]["overrides"].update({
 # at nr_envs=8 the fused loop gives only 1/8, so run fewer envs, plus the
 # reference-default observation normalizer.
 RUNS["pendulum_spot_mpo"]["budget"] = 150_000
+RUNS["pendulum_spot_mpo"]["threshold"] = -800.0
 RUNS["pendulum_spot_mpo"]["overrides"].update({
     "algorithm.batch_size": 256,
     "algorithm.enable_observation_normalization": True,
     "environment.nr_envs": 4,
 })
+# MPO's convergence rate under this recipe spans a wide band and its
+# periodic-hard-target E/M cycle makes late evals oscillate (10 measured
+# draws; see results/pendulum_spot_mpo_basin_probe.json — fused/chunked/
+# parallel paths verified numerically equivalent, reference-matched target
+# periods).  The -800 bar separates "learning" (every measured draw's curve
+# descends from -1500 and touches <= -350) from the ~-1500 never-learns
+# regime of a mis-calibrated recipe (no obs normalizer / starved update
+# ratio).  Record with serial seeds: vmapped lanes converge slower within
+# this budget (measured in the probe).
 RUNS["pendulum_spot_espo"] = {
     # ESPO runs FULL-batch epochs (no minibatches), so it needs smaller
     # rollouts + more epochs than PPO for the same number of grad steps
