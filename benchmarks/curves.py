@@ -336,12 +336,14 @@ for _name in ["c51", "dqn_hl_gauss"]:  # distributional heads need the
     RUNS[f"cartpole_spot_{_name}"]["overrides"].update({
         "algorithm.v_min": 0.0, "algorithm.v_max": 500.0,  # CartPole return support
     })
-# Vanilla DQN's greedy tail oscillates on CartPole (the classic
-# forgetting wobble; double-Q variants don't); at 250k one of three seeds
-# tail-sampled 247 vs the 250 bar.  Give it the cleanrl-scale 400k budget
+# The DQN family's greedy tail oscillates on CartPole (the classic
+# forgetting wobble); at 250k individual seeds tail-sample just under the
+# 250 bar (dqn 247, ddqn 220, hl_gauss 144/250 — c51's wider distributional
+# head is stable at 420-500).  Give them the cleanrl-scale 400k budget
 # (decay still 50%) so the tail average is past the wobble.
-RUNS["cartpole_spot_dqn"]["budget"] = 400_000
-RUNS["cartpole_spot_dqn"]["overrides"]["algorithm.epsilon_decay_steps"] = 200_000
+for _name in ["dqn", "ddqn", "dqn_hl_gauss"]:
+    RUNS[f"cartpole_spot_{_name}"]["budget"] = 400_000
+    RUNS[f"cartpole_spot_{_name}"]["overrides"]["algorithm.epsilon_decay_steps"] = 200_000
 
 # ---- remaining continuous-control families on Pendulum --------------------
 for _name, _algo in [
