@@ -66,7 +66,11 @@ def test_sac_learns_pendulum():
         "sac.tpu",
         "classic.pendulum.tpu",
         **{
-            "algorithm.total_timesteps": 30_000,
+            # 30k with a single test episode was marginal (the same recipe's
+            # TPU curve crosses -500 only around ~26k; a slow seed draw
+            # tail-sampled -1192) — 40k + a 3-episode mean is robustly past
+            # the knee without changing what the test proves
+            "algorithm.total_timesteps": 40_000,
             "algorithm.learning_starts": 1_000,
             "algorithm.buffer_size": 50_000,
             "algorithm.batch_size": 128,
@@ -77,5 +81,5 @@ def test_sac_learns_pendulum():
     )
     model = create_model(config)
     model.train()
-    returns = model.test(1)
-    assert returns[0] > -500, returns
+    returns = model.test(3)
+    assert sum(returns) / len(returns) > -500, returns
